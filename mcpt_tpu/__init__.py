@@ -1,0 +1,35 @@
+"""mcpt_tpu — a TPU-native Monte Carlo path tracing framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+reference renderer `zhiwei-c/Monte-Carlo-Path-Tracing` (csrt): a
+Mitsuba-compatible, differentiable, wavefront path tracer that runs on
+TPU chips and scales over device meshes with `shard_map`.
+
+Layer map (mirrors SURVEY.md but TPU-first):
+  ops/          vectorized device math: RNG, warps, microfacet, intersection,
+                BVH traversal (jnp + Pallas kernels)
+  models/       shading models: BSDFs, emitters, media, textures (SoA tables)
+  scene/        host-side scene compiler: Mitsuba-XML parser, mesh loaders,
+                LBVH build, flat-array commit (the csrt "commit" pipeline)
+  integrators/  wavefront path / volpath estimators (lax.while_loop bounces)
+  render/       camera, film, renderer orchestration, progressive mode
+  parallel/     mesh sharding: pixel shards over chips, psum film/grads
+  utils/        image IO (PNG/EXR/HDR), timing, logging
+"""
+
+__version__ = "0.1.0"
+
+_LAZY = {
+    "Renderer": ("mcpt_tpu.render.renderer", "Renderer"),
+    "load_config": ("mcpt_tpu.scene.parser", "load_config"),
+}
+
+
+def __getattr__(name):
+    # Lazy public API so `import mcpt_tpu.ops.math` stays light.
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'mcpt_tpu' has no attribute {name!r}")

@@ -18,9 +18,9 @@ INV_PI = 1.0 / PI
 INV_TWO_PI = 1.0 / TWO_PI
 INV_FOUR_PI = 1.0 / (4.0 * PI)
 MAX_FLOAT = 3.4028235e38
-EPSILON = 1e-5          # csrt kEpsilon (defs.hpp)
-EPSILON_FLOAT = 1e-6    # csrt kEpsilonFloat
-EPSILON_DISTANCE = 1e-3  # csrt kEpsilonDistance (shadow-ray offset)
+EPSILON = 0.01            # csrt kEpsilon (defs.hpp:25) — pdf/throughput cutoff
+EPSILON_FLOAT = 1.1920929e-7   # csrt kEpsilonFloat = FLT_EPSILON
+EPSILON_DISTANCE = 1e-4   # csrt kEpsilonDistance (ray t_min / shadow offset)
 
 
 def to_radians(deg):

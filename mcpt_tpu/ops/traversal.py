@@ -1,0 +1,197 @@
+"""Wavefront BVH traversal (csrt src/rtcore/accel/tlas.cpp, blas.cpp).
+
+The reference walks a pointer-linked LBVH with a per-thread stack of 65
+(tlas.cpp:18-43).  Here the whole wavefront traverses an *implicit*
+binary tree together inside one `lax.while_loop`: each ray pops one node
+per iteration from its own stack column, children are `2i+1 / 2i+2` (no
+topology gathers), and leaf hits shrink `t_best` so later AABB tests
+prune.  Lanes with empty stacks idle until every lane finishes — ray
+batches are Morton-coherent (pixel order), which keeps divergence low.
+
+Closest-hit and any-hit variants share the body; any-hit clears the
+stack pointer on the first confirmed hit (early out, tlas.cpp:44-76).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from mcpt_tpu.ops.intersect import intersect_aabb, intersect_triangle, safe_rcp
+
+
+class GeomHit(NamedTuple):
+    """Raw geometric hit record (pre-interpolation)."""
+
+    valid: jnp.ndarray    # [N] bool
+    t: jnp.ndarray        # [N] float32
+    prim: jnp.ndarray     # [N] int32 index into the sorted/padded prim SoA
+    v: jnp.ndarray        # [N] barycentric weight of vertex 1
+    w: jnp.ndarray        # [N] barycentric weight of vertex 2
+    inside: jnp.ndarray   # [N] bool — hit the back face (det < 0)
+
+
+def _leaf_intersect(geom, o, d, t_min, best, base, leaf_size):
+    """Test `leaf_size` consecutive sorted prims starting at `base`."""
+    t_best, prim_best, v_best, w_best, in_best, valid = best
+    for k in range(leaf_size):
+        pid = base + k
+        p0 = geom.p0[pid]
+        e1 = geom.e1[pid]
+        e2 = geom.e2[pid]
+        hit, t, v, w, det_inv = intersect_triangle(o, d, p0, e1, e2, t_min, t_best)
+        take = hit
+        t_best = jnp.where(take, t, t_best)
+        prim_best = jnp.where(take, pid, prim_best)
+        v_best = jnp.where(take, v, v_best)
+        w_best = jnp.where(take, w, w_best)
+        in_best = jnp.where(take, det_inv < 0.0, in_best)
+        valid = valid | take
+    return t_best, prim_best, v_best, w_best, in_best, valid
+
+
+def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
+    n = o.shape[0]
+    n_pad_leaves = geom.n_pad_leaves
+    leaf_size = geom.leaf_size
+    first_leaf = n_pad_leaves - 1
+    stack_size = geom.depth + 2
+    d_rcp = safe_rcp(d)
+    lane = jnp.arange(n)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    stack0 = jnp.zeros((n, stack_size), jnp.int32)
+    sp0 = jnp.ones((n,), jnp.int32)  # root pushed
+    best0 = (
+        t_max,
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.bool_),
+    )
+
+    def cond(state):
+        _, sp, _ = state
+        return jnp.any(sp > 0)
+
+    def body(state):
+        stack, sp, best = state
+        active = sp > 0
+        top = jnp.maximum(sp - 1, 0)
+        node = stack[lane, top]
+        sp = jnp.where(active, sp - 1, sp)
+
+        is_leaf = node >= first_leaf
+        do_leaf = active & is_leaf
+        do_int = active & ~is_leaf
+
+        # --- leaf: intersect primitives; padding prims have zero edges
+        base = (node - first_leaf) * leaf_size
+        leaf_best = _leaf_intersect(
+            geom, o, d, t_min, best, jnp.where(do_leaf, base, 0), leaf_size
+        )
+        best = tuple(jnp.where(do_leaf, lb, b) for lb, b in zip(leaf_best, best))
+        if any_hit:
+            # first hit terminates the lane
+            sp = jnp.where(best[5], 0, sp)
+
+        # --- internal: test children, push far then near
+        c0 = 2 * node + 1
+        c1 = 2 * node + 2
+        t_cull = best[0]
+        h0, t0 = intersect_aabb(o, d_rcp, geom.node_min[c0], geom.node_max[c0], t_min, t_cull)
+        h1, t1 = intersect_aabb(o, d_rcp, geom.node_min[c1], geom.node_max[c1], t_min, t_cull)
+        h0 = h0 & do_int
+        h1 = h1 & do_int
+        both = h0 & h1
+        near_is_0 = t0 <= t1
+        near = jnp.where(near_is_0, c0, c1)
+        far = jnp.where(near_is_0, c1, c0)
+        first = jnp.where(both, far, jnp.where(h0, c0, c1))
+        push1 = h0 | h1
+        push2 = both
+
+        slot = jnp.minimum(sp, stack_size - 1)
+        stack = stack.at[lane, slot].set(jnp.where(push1, first, stack[lane, slot]))
+        sp = sp + push1.astype(jnp.int32)
+        slot = jnp.minimum(sp, stack_size - 1)
+        stack = stack.at[lane, slot].set(jnp.where(push2, near, stack[lane, slot]))
+        sp = sp + push2.astype(jnp.int32)
+
+        return stack, sp, best
+
+    _, _, best = lax.while_loop(cond, body, (stack0, sp0, best0))
+    t_best, prim_best, v_best, w_best, in_best, valid = best
+    return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best, w=w_best, inside=in_best)
+
+
+def intersect_closest(geom, o, d, t_min=None, t_max=None):
+    """Closest-hit traversal over the whole wavefront.
+
+    geom: a Geometry pytree (scene.data.Geometry).
+    o, d: [N, 3] rays.  Returns :class:`GeomHit`.
+    """
+    from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
+
+    if t_min is None:
+        t_min = EPSILON_DISTANCE
+    if t_max is None:
+        t_max = MAX_FLOAT
+    return _traverse(geom, o, d, t_min, t_max, any_hit=False)
+
+
+def intersect_any(geom, o, d, t_min=None, t_max=None):
+    """Occlusion query; returns [N] bool."""
+    from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
+
+    if t_min is None:
+        t_min = EPSILON_DISTANCE
+    if t_max is None:
+        t_max = MAX_FLOAT
+    return _traverse(geom, o, d, t_min, t_max, any_hit=True).valid
+
+
+def intersect_closest_brute(geom, o, d, t_min=None, t_max=None, chunk=512):
+    """Reference oracle: test every primitive (for BVH equivalence tests)."""
+    from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
+
+    if t_min is None:
+        t_min = EPSILON_DISTANCE
+    if t_max is None:
+        t_max = MAX_FLOAT
+    n = o.shape[0]
+    p = geom.p0.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_best = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)).astype(jnp.float32)
+    prim_best = jnp.zeros((n,), jnp.int32)
+    v_best = jnp.zeros((n,), jnp.float32)
+    w_best = jnp.zeros((n,), jnp.float32)
+    in_best = jnp.zeros((n,), jnp.bool_)
+    valid = jnp.zeros((n,), jnp.bool_)
+    for start in range(0, p, chunk):
+        end = min(start + chunk, p)
+        hit, t, v, w, det_inv = intersect_triangle(
+            o[:, None, :],
+            d[:, None, :],
+            geom.p0[None, start:end],
+            geom.e1[None, start:end],
+            geom.e2[None, start:end],
+            t_min[:, None],
+            t_best[:, None],
+        )
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        tk = t[jnp.arange(n), k]
+        take = jnp.isfinite(tk) & (tk < t_best)
+        t_best = jnp.where(take, tk, t_best)
+        prim_best = jnp.where(take, start + k, prim_best)
+        v_best = jnp.where(take, v[jnp.arange(n), k], v_best)
+        w_best = jnp.where(take, w[jnp.arange(n), k], w_best)
+        in_best = jnp.where(take, det_inv[jnp.arange(n), k] < 0, in_best)
+        valid = valid | take
+    return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best, w=w_best, inside=in_best)

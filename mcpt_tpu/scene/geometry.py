@@ -1,0 +1,147 @@
+"""Device geometry: flat world-space triangle SoA + implicit BVH.
+
+The reference commits per-instance BLASes plus a TLAS of instance AABBs,
+all in world space already (csrt src/rtcore/scene.cpp:261-324,474-533).
+Since BLASes are world-space, the two-level structure only buys
+per-instance binding — so the TPU design merges everything into ONE
+global BVH over all world-space primitives and keeps a per-primitive
+`inst_id` for BSDF/medium binding.  Fewer indirections, one traversal.
+
+Primitives are stored Morton-sorted and padded (see scene/bvh.py);
+padding prims have zero edge vectors (never hit).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from mcpt_tpu.scene.bvh import build_bvh
+
+
+@flax.struct.dataclass
+class Geometry:
+    # Morton-sorted, padded primitive SoA (world space)
+    p0: jnp.ndarray   # [P, 3] vertex 0
+    e1: jnp.ndarray   # [P, 3] v1 - v0
+    e2: jnp.ndarray   # [P, 3] v2 - v0
+    n0: jnp.ndarray   # [P, 3] shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    tg0: jnp.ndarray  # [P, 3] tangents
+    tg1: jnp.ndarray
+    tg2: jnp.ndarray
+    bt0: jnp.ndarray  # [P, 3] bitangents
+    bt1: jnp.ndarray
+    bt2: jnp.ndarray
+    uv0: jnp.ndarray  # [P, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    inst_id: jnp.ndarray  # [P] int32 (padding = 0; masked by hit validity)
+    # implicit BVH
+    node_min: jnp.ndarray  # [M, 3]
+    node_max: jnp.ndarray  # [M, 3]
+    # static topology facts
+    n_pad_leaves: int = flax.struct.field(pytree_node=False)
+    leaf_size: int = flax.struct.field(pytree_node=False)
+    depth: int = flax.struct.field(pytree_node=False)
+    n_real_prims: int = flax.struct.field(pytree_node=False)
+
+
+def _gram_schmidt_frames(normals: np.ndarray, positions, texcoords):
+    """Build per-vertex tangent frames from uv derivatives when the mesh
+    supplies none, falling back to an arbitrary ONB (csrt scene.cpp:63-102
+    behavior, re-derived)."""
+    n = normals
+    # arbitrary tangent orthogonal to n
+    helper = np.where(
+        np.abs(n[:, 0:1]) > 0.9, np.array([[0.0, 1.0, 0.0]]), np.array([[1.0, 0.0, 0.0]])
+    ).astype(np.float32)
+    t = np.cross(helper, n)
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    b = np.cross(n, t)
+    b /= np.maximum(np.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+    return t, b
+
+
+def commit_geometry(
+    tri_positions: np.ndarray,   # [P, 3, 3] world-space vertices
+    tri_normals: np.ndarray | None,     # [P, 3, 3] per-vertex shading normals
+    tri_texcoords: np.ndarray | None,   # [P, 3, 2]
+    tri_tangents: np.ndarray | None,    # [P, 3, 3]
+    tri_inst_id: np.ndarray,     # [P]
+    leaf_size: int = 4,
+) -> Geometry:
+    """Build the device Geometry from host triangle soup."""
+    pos = np.asarray(tri_positions, np.float32)
+    p = pos.shape[0]
+    inst = np.asarray(tri_inst_id, np.int32)
+
+    gn = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    gn_len = np.linalg.norm(gn, axis=-1, keepdims=True)
+    gn = gn / np.maximum(gn_len, 1e-20)
+
+    if tri_normals is None:
+        normals = np.repeat(gn[:, None, :], 3, axis=1)
+    else:
+        normals = np.asarray(tri_normals, np.float32)
+    if tri_texcoords is None:
+        texcoords = np.zeros((p, 3, 2), np.float32)
+        texcoords[:, 1, 0] = 1.0
+        texcoords[:, 2, 1] = 1.0
+    else:
+        texcoords = np.asarray(tri_texcoords, np.float32)
+    if tri_tangents is None:
+        flat_n = normals.reshape(-1, 3)
+        t, b = _gram_schmidt_frames(flat_n, None, None)
+        tangents = t.reshape(p, 3, 3)
+        bitangents = b.reshape(p, 3, 3)
+    else:
+        tangents = np.asarray(tri_tangents, np.float32)
+        bitangents = np.cross(normals, tangents)
+        bl = np.linalg.norm(bitangents, axis=-1, keepdims=True)
+        bitangents = bitangents / np.maximum(bl, 1e-12)
+
+    prim_min = pos.min(axis=1)
+    prim_max = pos.max(axis=1)
+    bvh = build_bvh(prim_min, prim_max, leaf_size=leaf_size)
+
+    # Reorder + pad all attribute arrays by the Morton order.
+    def pick(a, fill=0.0):
+        out = np.full((bvh.order.shape[0],) + a.shape[1:], fill, a.dtype)
+        mask = bvh.order >= 0
+        out[mask] = a[bvh.order[mask]]
+        return out
+
+    pos_s = pick(pos)
+    nor_s = pick(normals)
+    uv_s = pick(texcoords)
+    tan_s = pick(tangents)
+    bit_s = pick(bitangents)
+    inst_s = pick(inst.astype(np.int32))
+
+    return Geometry(
+        p0=jnp.asarray(pos_s[:, 0]),
+        e1=jnp.asarray(pos_s[:, 1] - pos_s[:, 0]),
+        e2=jnp.asarray(pos_s[:, 2] - pos_s[:, 0]),
+        n0=jnp.asarray(nor_s[:, 0]),
+        n1=jnp.asarray(nor_s[:, 1]),
+        n2=jnp.asarray(nor_s[:, 2]),
+        tg0=jnp.asarray(tan_s[:, 0]),
+        tg1=jnp.asarray(tan_s[:, 1]),
+        tg2=jnp.asarray(tan_s[:, 2]),
+        bt0=jnp.asarray(bit_s[:, 0]),
+        bt1=jnp.asarray(bit_s[:, 1]),
+        bt2=jnp.asarray(bit_s[:, 2]),
+        uv0=jnp.asarray(uv_s[:, 0]),
+        uv1=jnp.asarray(uv_s[:, 1]),
+        uv2=jnp.asarray(uv_s[:, 2]),
+        inst_id=jnp.asarray(inst_s),
+        node_min=jnp.asarray(bvh.node_min),
+        node_max=jnp.asarray(bvh.node_max),
+        n_pad_leaves=bvh.n_pad_leaves,
+        leaf_size=bvh.leaf_size,
+        depth=bvh.depth,
+        n_real_prims=p,
+    )

@@ -1,0 +1,93 @@
+"""BVH traversal vs brute force equivalence (the test the reference never
+had, SURVEY.md §4): random triangle soups, random rays, closest-hit and
+any-hit must agree exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpt_tpu.ops.traversal import (
+    intersect_any,
+    intersect_closest,
+    intersect_closest_brute,
+)
+from mcpt_tpu.scene.geometry import commit_geometry
+
+
+def random_soup(n_tris, seed=0, spread=4.0, size=0.5):
+    r = np.random.default_rng(seed)
+    base = r.uniform(-spread, spread, size=(n_tris, 1, 3))
+    verts = base + r.uniform(-size, size, size=(n_tris, 3, 3))
+    return verts.astype(np.float32)
+
+
+def random_rays(n, seed=1, spread=6.0):
+    r = np.random.default_rng(seed)
+    o = r.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,leaf_size", [(1, 4), (7, 1), (100, 4), (333, 2), (1000, 8)])
+def test_closest_matches_brute(n_tris, leaf_size):
+    verts = random_soup(n_tris)
+    geom = commit_geometry(verts, None, None, None, np.zeros(n_tris), leaf_size=leaf_size)
+    o, d = random_rays(512)
+    got = jax.jit(intersect_closest)(geom, o, d)
+    ref = intersect_closest_brute(geom, o, d)
+
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+    # same primitive except exact-tie cases
+    same = np.asarray(got.prim)[m] == np.asarray(ref.prim)[m]
+    if m.sum() > 0:
+        assert same.mean() > 0.999
+
+
+def test_any_hit_consistent_with_closest():
+    verts = random_soup(300, seed=5)
+    geom = commit_geometry(verts, None, None, None, np.zeros(300))
+    o, d = random_rays(512, seed=6)
+    occluded = jax.jit(intersect_any)(geom, o, d)
+    closest = jax.jit(intersect_closest)(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(occluded), np.asarray(closest.valid))
+
+
+def test_t_max_limits_hits():
+    verts = random_soup(200, seed=9)
+    geom = commit_geometry(verts, None, None, None, np.zeros(200))
+    o, d = random_rays(256, seed=10)
+    full = intersect_closest(geom, o, d)
+    # shrink t_max below each found hit -> ray must miss
+    t_cut = jnp.where(full.valid, full.t * 0.5, 1e-3)
+    cut = intersect_closest(geom, o, d, t_max=t_cut)
+    hits_inside_cut = np.asarray(cut.valid & full.valid & (cut.t >= full.t))
+    assert not hits_inside_cut.any()
+
+
+def test_inside_flag_matches_winding():
+    # single CCW triangle in z=0 plane, normal +z
+    verts = np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], np.float32)
+    geom = commit_geometry(verts, None, None, None, np.zeros(1))
+    o = jnp.asarray([[0.2, 0.2, 1.0], [0.2, 0.2, -1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+    hit = intersect_closest(geom, o, d)
+    assert bool(hit.valid[0]) and bool(hit.valid[1])
+    assert not bool(hit.inside[0])  # front face from +z
+    assert bool(hit.inside[1])      # back face from -z
+
+
+def test_barycentric_interpolation_point():
+    verts = np.asarray([[[0, 0, 0], [2, 0, 0], [0, 2, 0]]], np.float32)
+    geom = commit_geometry(verts, None, None, None, np.zeros(1))
+    o = jnp.asarray([[0.5, 0.5, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit = intersect_closest(geom, o, d)
+    # v, w weights of vertices 1, 2: position = p0 + v*e1 + w*e2
+    p = np.asarray(geom.p0[hit.prim] + hit.v[:, None] * geom.e1[hit.prim] + hit.w[:, None] * geom.e2[hit.prim])
+    np.testing.assert_allclose(p[0], [0.5, 0.5, 0.0], atol=1e-6)

@@ -78,9 +78,15 @@ def refract(wi, n, eta_inv):
 
 
 def mis_weight(pdf1, pdf2):
-    """Power-2 heuristic (csrt src/utils/math.cpp:8-13)."""
-    p1, p2 = sqr(pdf1), sqr(pdf2)
-    return p1 / jnp.maximum(p1 + p2, 1e-30)
+    """Power-2 heuristic (csrt src/utils/math.cpp:8-13).
+
+    Computed in ratio form `1 / (1 + (pdf2/pdf1)^2)` so that huge pdfs on
+    masked wavefront lanes can't overflow float32 in the squares — inf/inf
+    NaNs there would otherwise leak through `jnp.where` in reverse-mode AD.
+    """
+    r = pdf2 / jnp.maximum(pdf1, 1e-24)
+    r2 = jnp.minimum(sqr(r), 1e30)
+    return 1.0 / (1.0 + r2)
 
 
 def cartesian_to_spherical(v):

@@ -1,0 +1,201 @@
+"""Scene commit: lower the RendererConfig IR to device tables.
+
+Mirrors the reference's Renderer ctor pipeline (csrt renderer.cpp:259-330):
+Scene geometry -> area-light CDF -> textures -> BSDFs -> emitters ->
+integrator wiring — but builds every array exactly once (the reference's
+O(n^2) realloc-append commit is intentionally not replicated, SURVEY §7.4).
+
+Area-light NEE sampling design: the reference picks a light instance by
+weight CDF then walks the instance's BLAS area tree for a point
+(path.cpp:186-196, blas.cpp:79-98).  Equivalent TPU form: one global CDF
+over *emissive triangles* with P(tri) = (w_L / sum_w) * (area_tri / area_L),
+so a single searchsorted picks the triangle and
+pdf_area = P(light) / area_light — identical to the reference's
+`(cdf[i+1]-cdf[i]) * list_pdf_area_instance[inst]` (path.cpp:225-228).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from mcpt_tpu.models import kulla_conty
+from mcpt_tpu.models.bsdf import BsdfTables, build_bsdf_tables
+from mcpt_tpu.models.texture import TextureTables
+from mcpt_tpu.scene.geometry import Geometry, commit_geometry
+from mcpt_tpu.scene.ir import BsdfType, RendererConfig
+from mcpt_tpu.scene.shapes import instance_triangles, triangle_areas
+
+
+@flax.struct.dataclass
+class EmissiveTris:
+    """Flat emissive-triangle table for NEE (one row per light triangle)."""
+
+    p0: jnp.ndarray        # [E, 3]
+    e1: jnp.ndarray        # [E, 3]
+    e2: jnp.ndarray        # [E, 3]
+    n0: jnp.ndarray        # [E, 3] shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray       # [E, 2]
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    cdf: jnp.ndarray       # [E + 1] global selection CDF
+    pdf_area: jnp.ndarray  # [E] P(light) / area_light for this tri's light
+    bsdf_id: jnp.ndarray   # [E] int32 area-light BSDF row (radiance lookup)
+
+
+@flax.struct.dataclass
+class SceneData:
+    """Everything the integrator needs on device (csrt IntegratorData,
+    integrator.hpp:29-69)."""
+
+    geom: Geometry
+    tex: TextureTables
+    bsdf: BsdfTables
+    map_inst_bsdf: jnp.ndarray       # [I] int32 (-1 = none)
+    map_inst_light_pdf: jnp.ndarray  # [I] f32 — pdf_area if instance is an
+    #                                  area light else 0 (P(light)/area)
+    em: EmissiveTris
+    brdf_avg: jnp.ndarray            # [128, 128] Kulla-Conty E(mu, alpha)
+    albedo_avg: jnp.ndarray          # [128]
+    # static facts
+    n_emissive: int = flax.struct.field(pytree_node=False)
+    present_types: tuple = flax.struct.field(pytree_node=False)
+    has_envmap: bool = flax.struct.field(pytree_node=False, default=False)
+
+
+def compile_scene(config: RendererConfig) -> SceneData:
+    # --- geometry: every instance -> world-space triangle soup
+    all_pos, all_nrm, all_uv, all_tan, all_inst = [], [], [], [], []
+    inst_tri_ranges = []
+    cursor = 0
+    for inst_id, info in enumerate(config.instances):
+        pos, nrm, uv, tan = instance_triangles(info)
+        f = pos.shape[0]
+        all_pos.append(pos)
+        all_nrm.append(
+            nrm
+            if nrm is not None
+            else _geometric_normals(pos)
+        )
+        if uv is None:
+            uv = np.zeros((f, 3, 2), np.float32)
+            uv[:, 1, 0] = 1.0
+            uv[:, 2, 1] = 1.0
+        all_uv.append(uv)
+        all_tan.append(tan)
+        all_inst.append(np.full(f, inst_id, np.int32))
+        inst_tri_ranges.append((cursor, cursor + f))
+        cursor += f
+
+    tri_pos = np.concatenate(all_pos, axis=0)
+    tri_nrm = np.concatenate(all_nrm, axis=0)
+    tri_uv = np.concatenate(all_uv, axis=0)
+    tri_tan = (
+        np.concatenate([t if t is not None else np.zeros_like(p) for t, p in zip(all_tan, all_pos)], axis=0)
+        if any(t is not None for t in all_tan)
+        else None
+    )
+    tri_inst = np.concatenate(all_inst, axis=0)
+
+    geom = commit_geometry(tri_pos, tri_nrm, tri_uv, tri_tan, tri_inst)
+
+    # --- instance -> bsdf map
+    n_inst = len(config.instances)
+    map_inst_bsdf = np.array(
+        [i.id_bsdf for i in config.instances], np.int32
+    ) if n_inst else np.zeros(0, np.int32)
+
+    # --- area lights: weight CDF over lights x area CDF within light
+    # (csrt renderer.cpp:272-304)
+    lights = []  # (inst_id, weight, bsdf_id)
+    for inst_id, info in enumerate(config.instances):
+        if 0 <= info.id_bsdf < len(config.bsdfs):
+            bi = config.bsdfs[info.id_bsdf]
+            if bi.btype == BsdfType.AREA_LIGHT:
+                lights.append((inst_id, bi.weight, info.id_bsdf))
+
+    sum_w = sum(w for _, w, _ in lights) or 1.0
+    em_rows = []
+    map_inst_light_pdf = np.zeros(max(n_inst, 1), np.float32)
+    for inst_id, weight, bsdf_id in lights:
+        lo, hi = inst_tri_ranges[inst_id]
+        areas = triangle_areas(tri_pos[lo:hi])
+        area_l = max(float(areas.sum()), 1e-20)
+        p_light = weight / sum_w
+        map_inst_light_pdf[inst_id] = p_light / area_l
+        for k in range(lo, hi):
+            em_rows.append(
+                (k, p_light * areas[k - lo] / area_l, p_light / area_l, bsdf_id)
+            )
+
+    e = max(len(em_rows), 1)
+    em_p = np.zeros((e, 3, 3), np.float32)
+    em_n = np.zeros((e, 3, 3), np.float32)
+    em_uv = np.zeros((e, 3, 2), np.float32)
+    em_prob = np.zeros(e, np.float32)
+    em_pdfa = np.zeros(e, np.float32)
+    em_bsdf = np.zeros(e, np.int32)
+    for row, (k, prob, pdfa, bsdf_id) in enumerate(em_rows):
+        em_p[row] = tri_pos[k]
+        em_n[row] = tri_nrm[k]
+        em_uv[row] = tri_uv[k]
+        em_prob[row] = prob
+        em_pdfa[row] = pdfa
+        em_bsdf[row] = bsdf_id
+    cdf = np.zeros(e + 1, np.float32)
+    np.cumsum(em_prob, out=cdf[1:])
+    if em_rows:
+        cdf /= max(cdf[-1], 1e-20)  # weights already normalized; guard fp
+
+    em = EmissiveTris(
+        p0=jnp.asarray(em_p[:, 0]),
+        e1=jnp.asarray(em_p[:, 1] - em_p[:, 0]),
+        e2=jnp.asarray(em_p[:, 2] - em_p[:, 0]),
+        n0=jnp.asarray(em_n[:, 0]),
+        n1=jnp.asarray(em_n[:, 1]),
+        n2=jnp.asarray(em_n[:, 2]),
+        uv0=jnp.asarray(em_uv[:, 0]),
+        uv1=jnp.asarray(em_uv[:, 1]),
+        uv2=jnp.asarray(em_uv[:, 2]),
+        cdf=jnp.asarray(cdf),
+        pdf_area=jnp.asarray(em_pdfa),
+        bsdf_id=jnp.asarray(em_bsdf),
+    )
+
+    # --- textures + bsdfs
+    tex = config.textures.build()
+    bsdf = build_bsdf_tables(config.bsdfs)
+    present = tuple(sorted({int(b.btype) for b in config.bsdfs}))
+
+    # --- Kulla-Conty LUT (jitted one-time precompute)
+    needs_kc = any(
+        b.btype in (BsdfType.CONDUCTOR, BsdfType.DIELECTRIC) for b in config.bsdfs
+    )
+    if needs_kc:
+        brdf_avg, albedo_avg = kulla_conty.get_tables()
+    else:
+        brdf_avg = np.zeros((kulla_conty.LUT_RESOLUTION,) * 2, np.float32)
+        albedo_avg = np.zeros(kulla_conty.LUT_RESOLUTION, np.float32)
+
+    return SceneData(
+        geom=geom,
+        tex=tex,
+        bsdf=bsdf,
+        map_inst_bsdf=jnp.asarray(map_inst_bsdf if n_inst else np.zeros(1, np.int32)),
+        map_inst_light_pdf=jnp.asarray(map_inst_light_pdf),
+        em=em,
+        brdf_avg=jnp.asarray(brdf_avg),
+        albedo_avg=jnp.asarray(albedo_avg),
+        n_emissive=len(em_rows),
+        present_types=present,
+        has_envmap=False,
+    )
+
+
+def _geometric_normals(pos: np.ndarray) -> np.ndarray:
+    gn = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    return np.repeat(gn[:, None, :], 3, axis=1)

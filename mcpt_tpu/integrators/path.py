@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcpt_tpu.models import bsdf as bsdfs
+from mcpt_tpu.models import emitter as emitters
 from mcpt_tpu.models import texture as textures
+from mcpt_tpu.scene.ir import EmitterType
 from mcpt_tpu.ops import rng
 from mcpt_tpu.ops.math import (
     EPSILON,
@@ -73,6 +75,12 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     normal = normalize(uf * g.n0[p] + vf * g.n1[p] + wf * g.n2[p])
     tangent = normalize(uf * g.tg0[p] + vf * g.tg1[p] + wf * g.tg2[p])
     bitangent = normalize(uf * g.bt0[p] + vf * g.bt1[p] + wf * g.bt2[p])
+    # back-face hits flip the stored normal/bitangent exactly like the
+    # reference (triangle.cpp:136-141) — `inside` semantics downstream
+    # (dielectric eta swap, medium side selection) depend on this.
+    flip = ghit.inside[..., None]
+    normal = jnp.where(flip, -normal, normal)
+    bitangent = jnp.where(flip, -bitangent, bitangent)
     uv = uf * g.uv0[p] + vf * g.uv1[p] + wf * g.uv2[p]
     inst = g.inst_id[p]
     bsdf_id = scene.map_inst_bsdf[jnp.maximum(inst, 0)]
@@ -111,12 +119,39 @@ def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
     return pos, nrm, radiance, em.pdf_area[cell]
 
 
-def _nee(scene: SceneData, hit: HitAttrs, wo, alive, xi):
+def _bsdf_eval(scene, hit, wi, wo):
+    return bsdfs.bsdf_evaluate(
+        scene.bsdf,
+        scene.tex,
+        scene.present_types,
+        hit.bsdf_id,
+        wi,
+        wo,
+        hit.normal,
+        hit.tangent,
+        hit.bitangent,
+        hit.inside,
+        hit.uv,
+        kc=(scene.brdf_avg, scene.albedo_avg),
+    )
+
+
+def nee_draw_count(scene: SceneData) -> int:
+    """Uniform draws consumed by one _direct_lighting call (scene-static
+    so RNG streams stay aligned across the wavefront)."""
+    k = 0
+    if scene.n_emissive:
+        k += 3
+    k += 2 * len(scene.emitter_rows)
+    if scene.env_kind != "none":
+        k += 2
+    return max(k, 1)
+
+
+def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
     """Direct lighting from the sampled area light with MIS
     (csrt EvaluateDirectLightPath, path.cpp:185-236)."""
-    pos_l, n_l, radiance, pdf_area = _sample_area_light(
-        scene, xi[0], xi[1], xi[2]
-    )
+    pos_l, n_l, radiance, pdf_area = _sample_area_light(scene, xi0, xi1, xi2)
     d_vec = hit.position - pos_l
     dist = jnp.sqrt(jnp.maximum(dot(d_vec, d_vec), 1e-20))
     wi = d_vec / dist[..., None]  # light travel direction: light -> surface
@@ -135,19 +170,7 @@ def _nee(scene: SceneData, hit: HitAttrs, wo, alive, xi):
     )
     ok = geo_ok & ~occluded
 
-    pdf_eval, f, f_valid = bsdfs.bsdf_evaluate(
-        scene.bsdf,
-        scene.tex,
-        scene.present_types,
-        hit.bsdf_id,
-        wi,
-        wo,
-        hit.normal,
-        hit.tangent,
-        hit.bitangent,
-        hit.inside,
-        hit.uv,
-    )
+    pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
     ok = ok & f_valid
 
     pdf_direct = pdf_area * (dist * dist) / jnp.maximum(cos_prime, 1e-12)
@@ -159,6 +182,103 @@ def _nee(scene: SceneData, hit: HitAttrs, wo, alive, xi):
         / jnp.maximum(pdf_direct, 1e-12)[..., None]
     )
     return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def _shadow_ok(scene, hit, wi, dist, geo_ok):
+    """Surface-origin shadow ray along -wi (path.cpp:151-156)."""
+    occluded = intersect_any(
+        scene.geom,
+        hit.position,
+        -wi,
+        t_min=EPSILON_DISTANCE,
+        t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
+    )
+    return geo_ok & ~occluded
+
+
+def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi):
+    """All-emitter NEE: every analytic emitter + one CDF-sampled area
+    light + the escape emitter, each against its own shadow ray
+    (csrt EvaluateDirectLightPath, path.cpp:138-236)."""
+    n = wo.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    cursor = 0
+
+    if scene.n_emissive:
+        L = L + _nee_area(
+            scene, hit, wo, alive, xi[0], xi[1], xi[2]
+        )
+        cursor = 3
+
+    for row, etype in scene.emitter_rows:
+        xi0, xi1 = xi[cursor], xi[cursor + 1]
+        cursor += 2
+        if etype == EmitterType.POINT:
+            wi, dist, rad, valid = emitters.sample_point(
+                scene.emitters, row, hit.position
+            )
+        elif etype == EmitterType.SPOT:
+            wi, dist, rad, valid = emitters.sample_spot(
+                scene.emitters, scene.tex, row, hit.position
+            )
+        elif etype == EmitterType.DIRECTIONAL:
+            wi, dist, rad, valid = emitters.sample_directional(
+                scene.emitters, row, hit.position
+            )
+        elif etype == EmitterType.SUN:
+            wi, dist, rad, valid = emitters.sample_sun(
+                scene.emitters, row, hit.position, xi0, xi1
+            )
+        else:
+            continue
+        geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok)
+        pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
+        # harsh delta light: no MIS, no pdf division (path.cpp:170-173)
+        L = L + jnp.where((ok & f_valid)[..., None], rad * f, 0.0)
+
+    if scene.env_kind != "none":
+        xi0, xi1 = xi[cursor], xi[cursor + 1]
+        if scene.env_kind == "envmap":
+            wi, dist, rad, pdf, valid = emitters.sample_envmap(
+                scene.env, scene.tex, hit.position, xi0, xi1
+            )
+        else:  # constant
+            wi, dist, rad, pdf, valid = emitters.sample_constant(
+                scene.emitters, scene.env_row, hit.position, xi0, xi1
+            )
+        geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok)
+        pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
+        w_mis = mis_weight(pdf, pdf_eval)
+        contrib = (
+            w_mis[..., None] * rad * f / jnp.maximum(pdf, 1e-12)[..., None]
+        )
+        L = L + jnp.where((ok & f_valid)[..., None], contrib, 0.0)
+
+    return L
+
+
+def _escape_radiance(scene: SceneData, look_dir):
+    """Escape-ray emitter radiance (envmap / constant; primary rays also
+    see the sun bitmap — path.cpp:24-35)."""
+    if scene.env_kind == "envmap":
+        return emitters.eval_envmap(scene.env, scene.tex, look_dir)
+    if scene.env_kind == "constant":
+        return jnp.broadcast_to(
+            scene.emitters.radiance[scene.env_row], look_dir.shape
+        )
+    return jnp.zeros_like(look_dir)
+
+
+def _escape_pdf(scene: SceneData, look_dir):
+    if scene.env_kind == "envmap":
+        return emitters.pdf_envmap(scene.env, scene.tex, look_dir)
+    if scene.env_kind == "constant":
+        from mcpt_tpu.ops.math import INV_FOUR_PI
+
+        return jnp.full(look_dir.shape[:-1], INV_FOUR_PI, jnp.float32)
+    return jnp.zeros(look_dir.shape[:-1], jnp.float32)
 
 
 def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
@@ -177,7 +297,17 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     hit = interpolate_hit(scene, ghit, o, d)
 
     L = jnp.zeros((n, 3), jnp.float32)
-    # TODO(envmap/sun): escape radiance for primary rays (path.cpp:24-35)
+    # primary-ray escape: envmap/constant + sun bitmap (path.cpp:24-35)
+    if scene.env_kind != "none":
+        L = L + jnp.where(
+            ~hit.valid[..., None], _escape_radiance(scene, d), 0.0
+        )
+    if scene.sun_row >= 0:
+        L = L + jnp.where(
+            ~hit.valid[..., None],
+            emitters.eval_sun_escape(scene.emitters, scene.tex, scene.sun_row, d),
+            0.0,
+        )
 
     has_bsdf = hit.bsdf_id >= 0
     emitter0 = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_bsdf & hit.valid
@@ -195,18 +325,24 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     beta0 = jnp.ones((n, 3), jnp.float32)
     wo0 = -d
 
-    if scene.n_emissive == 0 or integ.depth_max <= 1:
+    no_lights = (
+        scene.n_emissive == 0
+        and not scene.emitter_rows
+        and scene.env_kind == "none"
+    )
+    if no_lights or integ.depth_max <= 1:
         return L, seed
 
+    n_nee = nee_draw_count(scene)
     pdf_rr_rcp = 1.0 / integ.pdf_rr
 
     def cond(state):
         dep = state[0]
-        alive = state[6]
+        alive = state[-1]
         return (dep < integ.depth_max) & jnp.any(alive)
 
     def body(state):
-        dep, L, beta, wo, hit, seed, alive = state
+        dep, L, beta, wo, hit, pdf_mis, seed, alive = state
 
         # --- 1. Russian roulette with immediate compensation
         seed, rr_u = rng.random_float(seed)
@@ -214,9 +350,9 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         alive = alive & (~need_rr | (rr_u < integ.pdf_rr))
         beta = jnp.where((alive & need_rr)[..., None], beta * pdf_rr_rcp, beta)
 
-        # --- 2. NEE (3 draws)
-        seed, xi_nee = rng.random_floats(seed, 3)
-        L = L + beta * _nee(scene, hit, wo, alive, xi_nee)
+        # --- 2. NEE over every emitter (scene-static draw count)
+        seed, xi_nee = rng.random_floats(seed, n_nee)
+        L = L + beta * _direct_lighting(scene, hit, wo, alive, xi_nee)
 
         # --- 3. BSDF sample (path.cpp:66-74)
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
@@ -232,10 +368,15 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             hit.inside,
             hit.uv,
             xi_b,
+            kc=(scene.brdf_avg, scene.albedo_avg),
         )
         beta_new = beta * f / jnp.maximum(pdf_b, 1e-12)[..., None]
         alive = alive & valid_b & (jnp.max(beta_new, axis=-1) >= EPSILON)
         beta = jnp.where(alive[..., None], beta_new, beta)
+        # null boundaries are delta pass-throughs: the MIS pdf of the last
+        # REAL scattering event carries across them
+        null_vertex = hit.bsdf_id < 0
+        pdf_mis = jnp.where(null_vertex, pdf_mis, pdf_b)
 
         # --- 4. continuation trace (ray dir = -wi, path.cpp:77-78)
         o2 = hit.position
@@ -244,7 +385,15 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             scene.geom, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, o2, d2)
-        # TODO(envmap): escape MIS contribution (path.cpp:81-93)
+        # --- escape -> envmap/constant with MIS (path.cpp:81-93)
+        if scene.env_kind != "none":
+            esc = alive & ~hit2.valid
+            rad_esc = _escape_radiance(scene, d2)
+            pdf_esc = _escape_pdf(scene, d2)
+            w_esc = mis_weight(pdf_mis, pdf_esc)
+            L = L + jnp.where(
+                esc[..., None], w_esc[..., None] * beta * rad_esc, 0.0
+            )
         alive = alive & hit2.valid
 
         # --- emitter hit with MIS (path.cpp:105-124)
@@ -256,7 +405,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         pdf_direct = (
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
-        w_bsdf = mis_weight(pdf_b, pdf_direct)
+        w_bsdf = mis_weight(pdf_mis, pdf_direct)
         rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
         take_em = alive & emitter & (cos_prime >= EPSILON_FLOAT)
         L = L + jnp.where(take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0)
@@ -266,15 +415,17 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         backface = hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
         alive = alive & ~backface
 
-        return dep + 1, L, beta, wi, hit2, seed, alive
+        return dep + 1, L, beta, wi, hit2, pdf_mis, seed, alive
 
-    state = (jnp.int32(1), L, beta0, wo0, hit, seed, alive0)
+    # pdf_mis starts effectively-delta (the camera ray) so emitters seen
+    # through leading null boundaries get full weight
+    pdf_mis0 = jnp.full((n,), 1e12, jnp.float32)
+    state = (jnp.int32(1), L, beta0, wo0, hit, pdf_mis0, seed, alive0)
     if differentiable:
         def scan_body(state, _):
             return body(state), None
 
         state, _ = lax.scan(scan_body, state, None, length=integ.depth_max - 1)
-        _, L, _, _, _, seed, _ = state
     else:
-        _, L, _, _, _, seed, _ = lax.while_loop(cond, body, state)
-    return L, seed
+        state = lax.while_loop(cond, body, state)
+    return state[1], state[-2]

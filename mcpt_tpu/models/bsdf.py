@@ -1,25 +1,34 @@
 """Device BSDF system: SoA parameter tables + wavefront sample/evaluate.
 
 The reference dispatches a tagged union by switch per ray
-(csrt src/renderer/bsdfs/bsdf.cpp:188-236).  The TPU version keeps one
+(csrt src/renderer/bsdfs/bsdf.cpp:200-248).  The TPU version keeps one
 SoA row per scene BSDF and evaluates each *present* lobe family over the
 whole wavefront with masked selects — the scene compiler records which
 families exist (`present_types`, a static tuple) so XLA only compiles
-those branches.  Material sorting in front of the shading stage makes the
-masks dense later (SURVEY §2.7 "EP" analogue).
+those branches.
 
 Direction conventions follow the reference exactly:
   * `wi` = direction light travels (INTO the surface);
   * `wo` = direction toward the viewer/previous vertex;
-  * Sample() flips the shading frame when `dot(wo, n) < 0`,
-    Evaluate() when `dot(-wi, n) < 0` (path.cpp:252-256, 281-285);
+  * Sample() flips the shading normal (and toggles `inside`) when
+    `dot(wo, n) < 0`, Evaluate() when `dot(-wi, n) < 0`
+    (csrt path.cpp:252-256, 281-285); tangent/bitangent never flip;
   * returned `attenuation` is f * |cos theta_i| (the reference folds the
-    cosine into attenuation, diffuse.cpp:17-19).
+    cosine into attenuation, diffuse.cpp:17-19);
+  * microfacet "D" everywhere is the half-vector sampling pdf
+    D(h)*cos(theta_h) — csrt's SampleGgx output — so attenuation
+    formulas like F*D*G/(4 N.O) carry the reference's convention (its
+    golden images bake it in), not the textbook D(h).
 
-Deviation from the reference (documented; SURVEY §7.4 spirit): Evaluate's
-MIS pdf is the true BSDF sampling pdf of `wi` (e.g. cos/pi for Lambert).
-The reference returns `dot(wo, n)` for diffuse (diffuse.cpp:12) which
-breaks the MIS partition-of-unity; we keep the estimator unbiased.
+Documented deviation (SURVEY §7.4 spirit): for diffuse-like lobes
+Evaluate's MIS pdf is the true cosine-hemisphere pdf of `wi`
+(cos(theta_i)/pi).  The reference returns `dot(wo, n)`
+(diffuse.cpp:12, rough_diffuse.cpp:126) which breaks the MIS partition
+of unity; we keep the estimator unbiased.
+
+Kulla-Conty multiple-scattering compensation (conductor + dielectric,
+isotropic roughness only) matches csrt conductor.cpp:14-27 /
+dielectric.cpp:14-36 against the precomputed E(mu,alpha)/E_avg tables.
 """
 
 from __future__ import annotations
@@ -29,13 +38,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcpt_tpu.models import texture as textures
-from mcpt_tpu.ops.math import EPSILON, INV_PI, dot, to_local, to_world
+from mcpt_tpu.models.kulla_conty import lookup_albedo_avg, lookup_brdf_avg
+from mcpt_tpu.ops.math import (
+    EPSILON,
+    EPSILON_FLOAT,
+    INV_PI,
+    PI,
+    dot,
+    normalize,
+    reflect,
+    refract,
+    sqr,
+    to_local,
+    to_world,
+)
+from mcpt_tpu.ops.microfacet import (
+    fresnel_schlick,
+    pdf_ggx,
+    sample_ggx,
+    smith_g1,
+)
 from mcpt_tpu.ops.warps import sample_hemisphere_cosine
 from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
 
 # Fixed number of uniform draws consumed by one Sample() call across all
 # BSDF families — keeps per-lane RNG streams aligned in the wavefront.
+# (diffuse/conductor use 2; dielectric/thin/plastic use 3)
 N_SAMPLE_DRAWS = 3
+
+_MIN_ALPHA = 1e-4  # smooth lobes get roughness 0.001 (csrt parser.cpp:896)
 
 
 @flax.struct.dataclass
@@ -49,20 +80,29 @@ class BsdfTables:
     roughness_tid: jnp.ndarray    # [B] int32 (rough diffuse sigma / plastic)
     roughness_u_tid: jnp.ndarray  # [B] int32
     roughness_v_tid: jnp.ndarray  # [B] int32
-    specular_tid: jnp.ndarray     # [B] int32
-    transmit_tid: jnp.ndarray     # [B] int32
-    reflectivity_tid: jnp.ndarray  # [B] int32 (conductor F0)
-    edgetint_tid: jnp.ndarray     # [B] int32
-    eta: jnp.ndarray              # [B] f32
-    eta_inv: jnp.ndarray          # [B] f32
-    reflectivity: jnp.ndarray     # [B] f32 ((eta-1)^2/(eta+1)^2)
-    f_avg: jnp.ndarray            # [B, 3] average Fresnel
-    use_fast_approx: jnp.ndarray  # [B] bool
+    specular_tid: jnp.ndarray     # [B] int32 (-1 => white)
+    transmit_tid: jnp.ndarray     # [B] int32 (-1 => white)
+    # conductor Gulbrandsen parametrization (values, not textures —
+    # csrt conductor ctor bsdf.cpp:148-151)
+    reflectivity_rgb: jnp.ndarray  # [B, 3]
+    edgetint_rgb: jnp.ndarray      # [B, 3]
+    f_avg_rgb: jnp.ndarray         # [B, 3] conductor average Fresnel
+    # dielectric / thin dielectric / plastic scalars
+    eta: jnp.ndarray              # [B]
+    eta_inv: jnp.ndarray          # [B]
+    reflectivity: jnp.ndarray     # [B] ((eta-1)/(eta+1))^2
+    f_avg: jnp.ndarray            # [B] scalar average Fresnel(eta)
+    f_avg_inv: jnp.ndarray        # [B] scalar average Fresnel(1/eta)
+    use_fast_approx: jnp.ndarray  # [B] bool (rough diffuse)
 
 
 def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
-    """Host-side commit (csrt renderer.cpp:433-501 CommitBsdfs)."""
-    from mcpt_tpu.ops.microfacet import average_fresnel_scalar
+    """Host-side commit (csrt renderer.cpp:433-501 CommitBsdfs +
+    Bsdf ctor bsdf.cpp:115-188)."""
+    from mcpt_tpu.ops.microfacet import (
+        average_fresnel_rgb,
+        average_fresnel_scalar,
+    )
 
     b = max(len(infos), 1)
 
@@ -73,15 +113,37 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
         return out
 
     eta = arr(lambda i: i.eta, np.float32)
-    f_avg = np.zeros((b, 3), np.float32)
+    eta = np.where(eta == 0.0, 1.0, eta)
+    f_avg = np.zeros(b, np.float32)
+    f_avg_inv = np.zeros(b, np.float32)
+    refl_rgb = np.ones((b, 3), np.float32)
+    edge_rgb = np.ones((b, 3), np.float32)
+    f_avg_rgb = np.zeros((b, 3), np.float32)
+    twosided = np.zeros(b, np.bool_)
     for i, info in enumerate(infos):
-        if info.btype in (BsdfType.DIELECTRIC, BsdfType.THIN_DIELECTRIC,
-                          BsdfType.PLASTIC):
+        twosided[i] = info.twosided
+        if info.btype in (
+            BsdfType.DIELECTRIC,
+            BsdfType.THIN_DIELECTRIC,
+            BsdfType.PLASTIC,
+        ):
             f_avg[i] = average_fresnel_scalar(info.eta)
+            f_avg_inv[i] = average_fresnel_scalar(1.0 / info.eta)
+        if info.btype in (BsdfType.DIELECTRIC, BsdfType.THIN_DIELECTRIC):
+            # dielectrics are forced two-sided (csrt bsdf.cpp:161)
+            twosided[i] = True
+        if info.btype == BsdfType.CONDUCTOR:
+            refl_rgb[i] = np.broadcast_to(
+                np.asarray(info.reflectivity, np.float32), (3,)
+            )
+            edge_rgb[i] = np.broadcast_to(
+                np.asarray(info.edgetint, np.float32), (3,)
+            )
+            f_avg_rgb[i] = average_fresnel_rgb(refl_rgb[i], edge_rgb[i])
 
     return BsdfTables(
         btype=jnp.asarray(arr(lambda i: int(i.btype), np.int32)),
-        twosided=jnp.asarray(arr(lambda i: i.twosided, np.bool_)),
+        twosided=jnp.asarray(twosided),
         opacity_tid=jnp.asarray(arr(lambda i: i.id_opacity, np.int32)),
         bump_tid=jnp.asarray(arr(lambda i: i.id_bump_map, np.int32)),
         radiance_tid=jnp.asarray(arr(lambda i: i.id_radiance, np.int32)),
@@ -93,12 +155,16 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
         transmit_tid=jnp.asarray(
             arr(lambda i: i.id_specular_transmittance, np.int32)
         ),
-        reflectivity_tid=jnp.asarray(arr(lambda i: i.id_reflectivity, np.int32)),
-        edgetint_tid=jnp.asarray(arr(lambda i: i.id_edgetint, np.int32)),
+        reflectivity_rgb=jnp.asarray(refl_rgb),
+        edgetint_rgb=jnp.asarray(edge_rgb),
+        f_avg_rgb=jnp.asarray(f_avg_rgb),
         eta=jnp.asarray(eta),
-        eta_inv=jnp.asarray(1.0 / np.maximum(eta, 1e-6)),
-        reflectivity=jnp.asarray(((eta - 1.0) ** 2 / (eta + 1.0) ** 2).astype(np.float32)),
+        eta_inv=jnp.asarray((1.0 / eta).astype(np.float32)),
+        reflectivity=jnp.asarray(
+            ((eta - 1.0) ** 2 / (eta + 1.0) ** 2).astype(np.float32)
+        ),
         f_avg=jnp.asarray(f_avg),
+        f_avg_inv=jnp.asarray(f_avg_inv),
         use_fast_approx=jnp.asarray(arr(lambda i: i.use_fast_approx, np.bool_)),
     )
 
@@ -108,12 +174,71 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
 
 
 def orient_frame(normal, tangent, bitangent, inside, ref_dir):
-    """Flip the shading frame so `normal` faces the side of `ref_dir`
+    """Flip the shading normal so it faces the side of `ref_dir`
     (csrt path.cpp:252-256).  Returns (normal, inside)."""
     flip = dot(ref_dir, normal) < 0.0
     normal = jnp.where(flip[..., None], -normal, normal)
     inside = jnp.where(flip, ~inside, inside)
     return normal, inside
+
+
+def _tex_or_white(tex, tid, uv):
+    """Texture color, or 1.0 where the id is unset (the reference's parser
+    always fabricates a texture; unset ids only occur for defaults)."""
+    c = textures.eval_color(tex, jnp.maximum(tid, 0), uv)
+    return jnp.where((tid >= 0)[..., None], c, 1.0)
+
+
+def _scalar_tex(tex, tid, uv, default=0.1):
+    s = textures.eval_scalar(tex, jnp.maximum(tid, 0), uv)
+    return jnp.where(tid >= 0, s, default)
+
+
+def _safe(x, eps=1e-12):
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+
+# ---------------------------------------------------------------------------
+# Kulla-Conty multiple-scatter terms
+
+
+def _kc_conductor(kc, f_avg_rgb, n_dot_i, n_dot_o, alpha):
+    """csrt conductor.cpp:14-27 (EvaluateMultipleScatter)."""
+    brdf_avg, albedo_avg = kc
+    e_i = lookup_brdf_avg(brdf_avg, n_dot_i, alpha)
+    e_o = lookup_brdf_avg(brdf_avg, n_dot_o, alpha)
+    e_avg = lookup_albedo_avg(albedo_avg, alpha)
+    f_ms = (1.0 - e_i) * (1.0 - e_o) / (PI * _safe(1.0 - e_avg))
+    f_add = (
+        sqr(f_avg_rgb)
+        * e_avg[..., None]
+        / _safe(1.0 - f_avg_rgb * (1.0 - e_avg[..., None]))
+    )
+    return f_ms[..., None] * f_add * n_dot_i[..., None]
+
+
+def _kc_dielectric(kc, f_avg, f_avg_inv, eta_d, eta_inv_d, n_dot_i, n_dot_o,
+                   alpha, inside, is_reflect):
+    """csrt dielectric.cpp:14-36.  `inside`/`is_reflect` are per-lane
+    bool arrays; `eta_d`/`eta_inv_d` the table values."""
+    brdf_avg, albedo_avg = kc
+    e_i = lookup_brdf_avg(brdf_avg, n_dot_i, alpha)
+    e_o = lookup_brdf_avg(brdf_avg, n_dot_o, alpha)
+    e_avg = lookup_albedo_avg(albedo_avg, alpha)
+    f_ms = (1.0 - e_i) * (1.0 - e_o) / (PI * _safe(1.0 - e_avg))
+
+    f_avg_side = jnp.where(inside, f_avg_inv, f_avg)
+    eta_side = jnp.where(inside, eta_inv_d, eta_d)
+
+    f_add = (
+        sqr(f_avg_side) * e_avg / _safe(1.0 - f_avg_side * (1.0 - e_avg))
+    )
+    ratio_trans = (
+        (1.0 - f_avg) * (1.0 - f_avg_inv) * sqr(eta_side)
+        / _safe((1.0 - f_avg) + (1.0 - f_avg_inv) * sqr(eta_side))
+    )
+    ret = f_ms * f_add * n_dot_i
+    return jnp.where(is_reflect, (1.0 - ratio_trans) * ret, ratio_trans * ret)
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +258,6 @@ def _sample_diffuse(tex, albedo_tid, uv, n, t, b, xi):
 
 
 def _eval_diffuse(tex, albedo_tid, uv, n, wi, wo):
-    """Lambert eval; pdf is the cosine-hemisphere sampling pdf of wi
-    (see module docstring re: reference's diffuse.cpp:12 quirk)."""
     cos_i = dot(-wi, n)
     cos_o = dot(wo, n)
     pdf = INV_PI * jnp.maximum(cos_i, 0.0)
@@ -144,59 +267,634 @@ def _eval_diffuse(tex, albedo_tid, uv, n, wi, wo):
     return pdf, atten, valid
 
 
+def _oren_nayar(albedo, sigma, wi_local, wo_local, fast):
+    """Oren-Nayar attenuation, full + fast variants
+    (csrt rough_diffuse.cpp:10-100).  `fast` is a per-lane bool."""
+    conv = 0.70710678118  # Beckmann RMS -> slope-area variance
+    sigma_2 = sqr(sigma * conv)
+    n_dot_i = jnp.clip(wi_local[..., 2], 1e-6, 1.0)
+    n_dot_o = jnp.clip(wo_local[..., 2], 1e-6, 1.0)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(n_dot_i)))
+    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(n_dot_o)))
+    theta_i = jnp.arccos(n_dot_i)
+    theta_o = jnp.arccos(n_dot_o)
+    phi_i = jnp.arctan2(wi_local[..., 1], wi_local[..., 0])
+    phi_o = jnp.arctan2(wo_local[..., 1], wo_local[..., 0])
+    cos_phi_diff = jnp.cos(phi_i) * jnp.cos(phi_o) + jnp.sin(phi_i) * jnp.sin(
+        phi_o
+    )
+
+    i_gt_o = n_dot_i > n_dot_o
+    sin_alpha = jnp.where(i_gt_o, sin_o, sin_i)
+    sin_beta = jnp.where(i_gt_o, sin_i, sin_o)
+    tan_beta = jnp.where(i_gt_o, sin_i / n_dot_i, sin_o / n_dot_o)
+
+    # fast approximation
+    a_f = 1.0 - 0.5 * sigma_2 / (sigma_2 + 0.33)
+    b_f = 0.45 * sigma_2 / (sigma_2 + 0.09)
+    fast_atten = albedo * (
+        INV_PI
+        * n_dot_i
+        * (a_f + b_f * jnp.maximum(cos_phi_diff, 0.0) * sin_alpha * tan_beta)
+    )[..., None]
+
+    # full model
+    alpha_ang = jnp.maximum(theta_i, theta_o)
+    beta_ang = jnp.minimum(theta_i, theta_o)
+    tmp = sigma_2 / (sigma_2 + 0.09)
+    tmp2 = 4.0 * INV_PI * INV_PI * alpha_ang * beta_ang
+    tmp3 = 2.0 * beta_ang * INV_PI
+    c1 = 1.0 - 0.5 * sigma_2 / (sigma_2 + 0.33)
+    c2 = 0.45 * tmp
+    c2 = jnp.where(
+        cos_phi_diff > 0.0, c2 * sin_alpha, c2 * (sin_alpha - tmp3**3)
+    )
+    c3 = 0.125 * tmp * sqr(tmp2)
+    c4 = 0.17 * sigma_2 / (sigma_2 + 0.13)
+    tan_half = (sin_alpha + sin_beta) / (
+        jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(sin_alpha)))
+        + jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(sin_beta)))
+        + 1e-12
+    )
+    sngl = albedo * (
+        c1
+        + cos_phi_diff * c2 * tan_beta
+        + (1.0 - jnp.abs(cos_phi_diff)) * c3 * tan_half
+    )[..., None]
+    dbl = sqr(albedo) * (c4 * (1.0 - cos_phi_diff * sqr(tmp3)))[..., None]
+    full_atten = (sngl + dbl) * (INV_PI * n_dot_i)[..., None]
+
+    return jnp.where(fast[..., None], fast_atten, full_atten)
+
+
+def _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo):
+    albedo = textures.eval_color(tex, tables.diffuse_tid[bid], uv)
+    sigma = _scalar_tex(tex, tables.roughness_tid[bid], uv)
+    wi_local = to_local(-wi, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    fast = tables.use_fast_approx[bid]
+    return _oren_nayar(albedo, sigma, wi_local, wo_local, fast)
+
+
+def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
+    """GGX reflection w/ Schlick Fresnel + Kulla-Conty compensation
+    (csrt conductor.cpp:36-79)."""
+    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
+    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    h = to_world(h_local, t, b, n)
+    h_dot_o = dot(wo, h)
+    pdf = d_pdf / (4.0 * _safe(h_dot_o))
+    wi = -reflect(-wo, h)
+    n_dot_i = dot(-wi, n)
+
+    wi_local = to_local(-wi, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    h_dot_i = dot(-wi, h)
+    n_dot_o = wo_local[..., 2]
+    f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
+    atten = f * (d_pdf * g / (4.0 * _safe(n_dot_o)))[..., None]
+
+    iso = jnp.abs(au - av) < 1e-6
+    comp = _kc_conductor(kc, tables.f_avg_rgb[bid], n_dot_i, n_dot_o, au)
+    atten = atten + jnp.where(iso[..., None], comp, 0.0)
+    atten = atten * _tex_or_white(tex, tables.specular_tid[bid], uv)
+
+    valid = (pdf >= EPSILON) & (n_dot_i >= EPSILON_FLOAT)
+    return wi, pdf, atten, valid
+
+
+def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
+    """csrt conductor.cpp:81-124."""
+    n_dot_o = dot(wo, n)
+    h = normalize(-wi + wo)
+    h_local = to_local(h, t, b, n)
+    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
+    d = pdf_ggx(au, av, h_local)
+    h_dot_o = dot(wo, h)
+    pdf = d / (4.0 * _safe(h_dot_o))
+
+    wi_local = to_local(-wi, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    h_dot_i = dot(-wi, h)
+    f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
+    atten = f * (d * g / (4.0 * _safe(n_dot_o)))[..., None]
+
+    iso = jnp.abs(au - av) < 1e-6
+    n_dot_i = dot(-wi, n)
+    comp = _kc_conductor(kc, tables.f_avg_rgb[bid], n_dot_i, n_dot_o, au)
+    atten = atten + jnp.where(iso[..., None], comp, 0.0)
+    atten = atten * _tex_or_white(tex, tables.specular_tid[bid], uv)
+
+    valid = (n_dot_o >= EPSILON_FLOAT) & (pdf >= EPSILON)
+    return pdf, atten, valid
+
+
+def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
+    """Rough dielectric reflect/refract (csrt dielectric.cpp:44-146)."""
+    scale = 1.2 - 0.2 * jnp.sqrt(jnp.abs(dot(-wo, n)))
+    au = jnp.maximum(
+        _scalar_tex(tex, tables.roughness_u_tid[bid], uv) * scale, _MIN_ALPHA
+    )
+    av = jnp.maximum(
+        _scalar_tex(tex, tables.roughness_v_tid[bid], uv) * scale, _MIN_ALPHA
+    )
+    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    h = to_world(h_local, t, b, n)
+    h_dot_o = dot(wo, h)
+
+    # relative IOR bookkeeping exactly as the reference (dielectric.cpp:61-69)
+    eta_tab = tables.eta[bid]
+    eta_inv_tab = tables.eta_inv[bid]
+    eta = jnp.where(inside, eta_tab, eta_inv_tab)
+    eta_inv = jnp.where(inside, eta_inv_tab, eta_tab)
+
+    refract_ok, wt = refract(-wo, h, eta)
+    full_reflect = ~refract_ok
+    f_sel = fresnel_schlick(h_dot_o, tables.reflectivity[bid])
+    choose_reflect = full_reflect | (xi[2] < f_sel)
+
+    wo_local = to_local(wo, t, b, n)
+    n_dot_o = wo_local[..., 2]
+
+    # --- reflection branch
+    wi_r = -reflect(-wo, h)
+    n_dot_i_r = dot(-wi_r, n)
+    pdf_r = f_sel * d_pdf / (4.0 * _safe(h_dot_o))
+    wi_local_r = to_local(-wi_r, t, b, n)
+    g_r = smith_g1(au, av, wi_local_r, h_local) * smith_g1(
+        au, av, wo_local, h_local
+    )
+    atten_r = jnp.broadcast_to(
+        (f_sel * d_pdf * g_r / (4.0 * _safe(n_dot_o)))[..., None], wo.shape
+    )
+    iso = jnp.abs(au - av) < 1e-6
+    comp_r = _kc_dielectric(
+        kc,
+        tables.f_avg[bid],
+        tables.f_avg_inv[bid],
+        eta_tab,
+        eta_inv_tab,
+        n_dot_i_r,
+        n_dot_o,
+        au,
+        inside,
+        jnp.ones_like(inside),
+    )
+    atten_r = atten_r + jnp.where(iso[..., None], comp_r[..., None], 0.0)
+    atten_r = atten_r * _tex_or_white(tex, tables.specular_tid[bid], uv)
+    valid_r = (n_dot_i_r >= EPSILON_FLOAT) & (pdf_r >= EPSILON)
+
+    # --- refraction branch (wi = -wt; local z flipped, dielectric.cpp:102-146)
+    wi_t = -wt
+    wi_local_t = to_local(-wi_t, t, b, n)
+    wi_local_t = wi_local_t.at[..., 2].multiply(-1.0)
+    n_dot_i_t = wi_local_t[..., 2]
+    h_dot_i_t = -dot(wt, h)
+    h_dot_o_t = -h_dot_o
+    f_t = fresnel_schlick(h_dot_i_t, tables.reflectivity[bid])
+    denom = sqr(eta_inv * h_dot_i_t + h_dot_o_t)
+    pdf_t = (1.0 - f_t) * d_pdf * jnp.abs(h_dot_o_t / _safe(denom))
+    g_t = smith_g1(au, av, wi_local_t, h_local) * smith_g1(
+        au, av, wo_local, h_local
+    )
+    atten_t_s = (
+        jnp.abs(h_dot_i_t) * jnp.abs(h_dot_o_t) * (1.0 - f_t) * g_t * d_pdf
+    ) / jnp.abs(_safe(n_dot_o * denom))
+    comp_t = _kc_dielectric(
+        kc,
+        tables.f_avg[bid],
+        tables.f_avg_inv[bid],
+        eta_tab,
+        eta_inv_tab,
+        n_dot_i_t,
+        n_dot_o,
+        au,
+        ~inside,
+        jnp.zeros_like(inside),
+    )
+    atten_t = jnp.broadcast_to(atten_t_s[..., None], wo.shape)
+    atten_t = atten_t + jnp.where(iso[..., None], comp_t[..., None], 0.0)
+    atten_t = atten_t * sqr(eta)[..., None]
+    atten_t = atten_t * _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    valid_t = (
+        (n_dot_i_t >= EPSILON_FLOAT)
+        & (h_dot_i_t >= EPSILON_FLOAT)
+        & (pdf_t >= EPSILON)
+    )
+
+    wi = jnp.where(choose_reflect[..., None], wi_r, wi_t)
+    pdf = jnp.where(choose_reflect, pdf_r, pdf_t)
+    atten = jnp.where(choose_reflect[..., None], atten_r, atten_t)
+    valid = jnp.where(choose_reflect, valid_r, valid_t)
+    valid = valid & (h_dot_o >= EPSILON_FLOAT)
+    return wi, pdf, atten, valid
+
+
+def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
+    """csrt dielectric.cpp:148-232 (raw alpha, no sampling scale)."""
+    eta_tab = tables.eta[bid]
+    eta_inv_tab = tables.eta_inv[bid]
+    # NOTE: Evaluate swaps on `inside` (the frame was oriented by -wi)
+    eta = jnp.where(inside, eta_inv_tab, eta_tab)
+    eta_inv = jnp.where(inside, eta_tab, eta_inv_tab)
+
+    n_dot_o = dot(wo, n)
+    is_reflect = n_dot_o > 0.0
+    h_refl = normalize(-wi + wo)
+    h_tran = -normalize(eta_inv[..., None] * (-wi) + wo)
+    h = jnp.where(is_reflect[..., None], h_refl, h_tran)
+    h_local = to_local(h, t, b, n)
+
+    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
+    d = pdf_ggx(au, av, h_local)
+    h_dot_i = dot(-wi, h)
+    h_dot_o = dot(wo, h)
+    f = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    denom = sqr(eta_inv * h_dot_i + h_dot_o)
+    pdf = jnp.where(
+        is_reflect,
+        f * d / (4.0 * _safe(h_dot_o)),
+        (1.0 - f) * d * jnp.abs(h_dot_o / _safe(denom)),
+    )
+
+    wi_local = to_local(-wi, t, b, n)
+    wo_local_r = to_local(wo, t, b, n)
+    wo_local_t = to_local(-wo, t, b, n)
+    wo_local = jnp.where(is_reflect[..., None], wo_local_r, wo_local_t)
+    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+
+    atten_r = f * d * g / (4.0 * _safe(n_dot_o))
+    atten_t = (
+        jnp.abs(h_dot_i) * jnp.abs(h_dot_o) * (1.0 - f) * g * d
+    ) / jnp.abs(_safe(n_dot_o * denom))
+
+    iso = jnp.abs(au - av) < 1e-6
+    n_dot_i = dot(-wi, n)
+    comp = _kc_dielectric(
+        kc,
+        tables.f_avg[bid],
+        tables.f_avg_inv[bid],
+        eta_tab,
+        eta_inv_tab,
+        n_dot_i,
+        n_dot_o,
+        au,
+        inside,
+        is_reflect,
+    )
+    atten_s = jnp.where(is_reflect, atten_r, atten_t * sqr(eta))
+    comp_s = jnp.where(iso, comp, 0.0)
+    comp_s = jnp.where(is_reflect, comp_s, comp_s * sqr(eta))
+    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
+    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    color = jnp.where(is_reflect[..., None], spec, tran)
+    atten = (atten_s + comp_s)[..., None] * color
+
+    valid = pdf >= EPSILON
+    return pdf, atten, valid
+
+
+def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
+    """csrt thin_dielectric.cpp:11-71: double-interface Fresnel, reflect
+    or pass straight through (wi = wo)."""
+    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
+    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    h = to_world(h_local, t, b, n)
+    h_dot_o = dot(wo, h)
+    pdf0 = d_pdf / (4.0 * _safe(h_dot_o))
+
+    wi_r = -reflect(-wo, h)
+    n_dot_i = dot(-wi_r, n)
+    wi_local = to_local(-wi_r, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    h_dot_i = dot(-wi_r, h)
+    n_dot_o = wo_local[..., 2]
+    f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    f = jnp.where(f1 < 1.0, f1 * 2.0 / (1.0 + f1), f1)
+
+    choose_reflect = xi[2] < f
+    pdf = jnp.where(choose_reflect, pdf0 * f, pdf0 * (1.0 - f))
+    base = jnp.where(choose_reflect, f, 1.0 - f) * d_pdf * g / (4.0 * _safe(n_dot_o))
+    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
+    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    atten = base[..., None] * jnp.where(choose_reflect[..., None], spec, tran)
+    wi = jnp.where(choose_reflect[..., None], wi_r, wo)
+
+    valid = (pdf >= EPSILON) & (n_dot_i >= EPSILON_FLOAT)
+    return wi, pdf, atten, valid
+
+
+def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
+    """csrt thin_dielectric.cpp:73-135."""
+    n_dot_o_raw = dot(wo, n)
+    is_reflect = n_dot_o_raw >= 0.0
+    n_dot_o = jnp.abs(n_dot_o_raw)
+    wo_local = to_local(wo, t, b, n)
+    wo_local = wo_local.at[..., 2].set(jnp.abs(wo_local[..., 2]))
+    wo_eff = to_world(wo_local, t, b, n)
+
+    h = normalize(-wi + wo_eff)
+    h_local = to_local(h, t, b, n)
+    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
+    d = pdf_ggx(au, av, h_local)
+    h_dot_i = dot(-wi, h)
+    h_dot_o = dot(wo, h)
+    f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    f = jnp.where(f1 < 1.0, f1 * 2.0 / (1.0 + f1), f1)
+
+    pdf = jnp.where(is_reflect, f, 1.0 - f) * d / (4.0 * _safe(h_dot_o))
+    wi_local = to_local(-wi, t, b, n)
+    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    base = jnp.where(is_reflect, f, 1.0 - f) * d * g / (4.0 * _safe(n_dot_o))
+    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
+    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    atten = base[..., None] * jnp.where(is_reflect[..., None], spec, tran)
+
+    valid = (pdf >= EPSILON) & (jnp.abs(n_dot_o_raw) >= EPSILON_FLOAT)
+    return pdf, atten, valid
+
+
+def _plastic_lobe_weights(tables, tex, bid, uv):
+    kd = textures.eval_color(tex, tables.diffuse_tid[bid], uv)
+    ks = _tex_or_white(tex, tables.specular_tid[bid], uv)
+    w_spec = jnp.sum(ks, axis=-1) / _safe(
+        jnp.sum(kd, axis=-1) + jnp.sum(ks, axis=-1)
+    )
+    return kd, ks, w_spec
+
+
+def _sample_plastic(tables, tex, bid, uv, wo, n, t, b, xi):
+    """Clear-coat GGX + Fresnel-weighted Lambert base
+    (csrt plastic.cpp:12-98)."""
+    kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
+    refl = tables.reflectivity[bid]
+    f_avg = tables.f_avg[bid]
+    alpha = jnp.maximum(_scalar_tex(tex, tables.roughness_tid[bid], uv), _MIN_ALPHA)
+
+    n_dot_o = dot(wo, n)
+    kr_o = fresnel_schlick(n_dot_o, refl)
+    p_spec0 = kr_o * w_spec
+    p_diff0 = (1.0 - kr_o) * (1.0 - w_spec)
+    p_spec0 = p_spec0 / _safe(p_spec0 + p_diff0)
+    choose_spec = xi[0] < p_spec0
+
+    # specular branch: sample GGX half-vector
+    h_local_s, d_s = sample_ggx(xi[1], xi[2], alpha, alpha)
+    h_s = to_world(h_local_s, t, b, n)
+    wi_s = -reflect(-wo, h_s)
+
+    # diffuse branch: cosine hemisphere
+    wi_local_d, pdf_d_local = sample_hemisphere_cosine(xi[1], xi[2])
+    wi_d = -to_world(wi_local_d, t, b, n)
+
+    wi = jnp.where(choose_spec[..., None], wi_s, wi_d)
+    n_dot_i = dot(-wi, n)
+
+    # recompute lobe probabilities from the actual wi; both branches use
+    # (1-kr_i)*weight_spec for the diffuse share (plastic.cpp:44-64)
+    kr_i = fresnel_schlick(n_dot_i, refl)
+    p_spec = kr_i * w_spec
+    p_diff = (1.0 - kr_i) * w_spec
+    p_spec = p_spec / _safe(p_spec + p_diff)
+    p_diff = 1.0 - p_spec
+
+    h_w = jnp.where(
+        choose_spec[..., None], h_s, normalize(-wi + wo)
+    )
+    h_local = to_local(h_w, t, b, n)
+    d = jnp.where(choose_spec, d_s, pdf_ggx(alpha, alpha, h_local))
+    h_dot_o = dot(wo, h_w)
+    pdf_spec = p_spec * d / (4.0 * _safe(h_dot_o))
+    pdf_diff = p_diff * jnp.where(
+        choose_spec, jnp.maximum(n_dot_i, 0.0), pdf_d_local
+    )
+    pdf = pdf_spec + pdf_diff
+
+    wi_local = to_local(-wi, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    h_dot_i = dot(-wi, h_w)
+    f = fresnel_schlick(h_dot_i, refl)
+    g = smith_g1(alpha, alpha, wi_local, h_local) * smith_g1(
+        alpha, alpha, wo_local, h_local
+    )
+    spec_term = (f * d * g / (4.0 * _safe(n_dot_o)))[..., None] * ks
+    diff_term = kd * (INV_PI * n_dot_i)[..., None]
+    diff_term = diff_term * (
+        (1.0 - kr_i) * (1.0 - kr_o) / _safe(1.0 - f_avg)
+    )[..., None]
+    atten = (
+        jnp.where((pdf_spec > EPSILON)[..., None], spec_term, 0.0)
+        + jnp.where((pdf_diff > EPSILON)[..., None], diff_term, 0.0)
+    )
+
+    valid = (pdf >= EPSILON) & (n_dot_i >= EPSILON_FLOAT)
+    return wi, pdf, atten, valid
+
+
+def _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b):
+    """csrt plastic.cpp:100-168."""
+    kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
+    refl = tables.reflectivity[bid]
+    f_avg = tables.f_avg[bid]
+    alpha = jnp.maximum(_scalar_tex(tex, tables.roughness_tid[bid], uv), _MIN_ALPHA)
+
+    n_dot_o = dot(wo, n)
+    n_dot_i = dot(-wi, n)
+    kr_i = fresnel_schlick(n_dot_i, refl)
+    p_spec = kr_i * w_spec
+    p_diff = (1.0 - kr_i) * (1.0 - w_spec)
+    p_spec = p_spec / _safe(p_spec + p_diff)
+    p_diff = 1.0 - p_spec
+
+    h = normalize(-wi + wo)
+    h_local = to_local(h, t, b, n)
+    d = pdf_ggx(alpha, alpha, h_local)
+    h_dot_o = dot(wo, h)
+    pdf_spec = p_spec * d / (4.0 * _safe(h_dot_o))
+    wo_local = to_local(wo, t, b, n)
+    pdf_diff = p_diff * wo_local[..., 2]
+    pdf = pdf_spec + pdf_diff
+
+    wi_local = to_local(-wi, t, b, n)
+    h_dot_i = dot(-wi, h)
+    f = fresnel_schlick(h_dot_i, refl)
+    g = smith_g1(alpha, alpha, wo_local, h_local) * smith_g1(
+        alpha, alpha, wi_local, h_local
+    )
+    kr_o = fresnel_schlick(n_dot_o, refl)
+    spec_term = (f * d * g / (4.0 * _safe(n_dot_o)))[..., None] * ks
+    diff_term = kd * (INV_PI * n_dot_i)[..., None]
+    diff_term = diff_term * (
+        (1.0 - kr_i) * (1.0 - kr_o) / _safe(1.0 - f_avg)
+    )[..., None]
+    atten = (
+        jnp.where((pdf_spec > EPSILON)[..., None], spec_term, 0.0)
+        + jnp.where((pdf_diff > EPSILON)[..., None], diff_term, 0.0)
+    )
+
+    valid = (n_dot_o >= EPSILON_FLOAT) & (pdf >= EPSILON)
+    return pdf, atten, valid
+
+
 # ---------------------------------------------------------------------------
 # Wavefront dispatch
 
 
 def bsdf_sample(tables: BsdfTables, tex, present_types, bid, wo, normal,
-                tangent, bitangent, inside, uv, xi):
+                tangent, bitangent, inside, uv, xi, kc=None):
     """Sample a continuation direction for every lane.
 
-    bid: [N] int32 BSDF row per lane (invalid rows allowed, masked out).
+    bid: [N] int32 BSDF row per lane; bid < 0 = null boundary (medium
+    shell): the lane passes straight through — wi = wo, pdf = 1,
+    attenuation = 1 (csrt SampleRayPath's nullptr branch,
+    path.cpp:289-294).
     wo: [N, 3] toward viewer.  xi: [N_SAMPLE_DRAWS, N] uniforms.
+    kc: (brdf_avg [128,128], albedo_avg [128]) Kulla-Conty tables.
     Returns (wi [N,3], pdf [N], attenuation [N,3], valid [N]).
     """
+    null = bid < 0
     bid = jnp.maximum(bid, 0)
     n, inside = orient_frame(normal, tangent, bitangent, inside, wo)
+    t, b = tangent, bitangent
     btype = tables.btype[bid]
+    if kc is None:
+        kc = (jnp.zeros((128, 128)), jnp.zeros((128,)))
 
     wi = -wo
     pdf = jnp.ones_like(wo[..., 0])
     atten = jnp.ones_like(wo)
     valid = jnp.zeros(wo.shape[:-1], jnp.bool_)
 
-    if BsdfType.DIFFUSE in present_types:
-        m = btype == BsdfType.DIFFUSE
-        w_, p_, a_, v_ = _sample_diffuse(
-            tex, tables.diffuse_tid[bid], uv, n, tangent, bitangent, xi
-        )
+    def merge(m, w_, p_, a_, v_):
+        nonlocal wi, pdf, atten, valid
         wi = jnp.where(m[..., None], w_, wi)
         pdf = jnp.where(m, p_, pdf)
         atten = jnp.where(m[..., None], a_, atten)
         valid = jnp.where(m, v_, valid)
 
+    if BsdfType.DIFFUSE in present_types:
+        m = btype == BsdfType.DIFFUSE
+        w_, p_, a_, v_ = _sample_diffuse(
+            tex, tables.diffuse_tid[bid], uv, n, t, b, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
+    if BsdfType.ROUGH_DIFFUSE in present_types:
+        m = btype == BsdfType.ROUGH_DIFFUSE
+        wi_local, p_ = sample_hemisphere_cosine(xi[0], xi[1])
+        w_ = -to_world(wi_local, t, b, n)
+        a_ = _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, w_, wo)
+        merge(m, w_, p_, a_, p_ >= EPSILON)
+
+    if BsdfType.CONDUCTOR in present_types:
+        m = btype == BsdfType.CONDUCTOR
+        w_, p_, a_, v_ = _sample_conductor(
+            tables, tex, kc, bid, uv, wo, n, t, b, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
+    if BsdfType.DIELECTRIC in present_types:
+        m = btype == BsdfType.DIELECTRIC
+        w_, p_, a_, v_ = _sample_dielectric(
+            tables, tex, kc, bid, uv, wo, n, t, b, inside, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
+    if BsdfType.THIN_DIELECTRIC in present_types:
+        m = btype == BsdfType.THIN_DIELECTRIC
+        w_, p_, a_, v_ = _sample_thin_dielectric(
+            tables, tex, bid, uv, wo, n, t, b, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
+    if BsdfType.PLASTIC in present_types:
+        m = btype == BsdfType.PLASTIC
+        w_, p_, a_, v_ = _sample_plastic(
+            tables, tex, bid, uv, wo, n, t, b, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
+    # null boundary: straight pass-through
+    wi = jnp.where(null[..., None], wo, wi)
+    pdf = jnp.where(null, 1.0, pdf)
+    atten = jnp.where(null[..., None], 1.0, atten)
+    valid = valid | null
     return wi, pdf, atten, valid
 
 
 def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
-                  normal, tangent, bitangent, inside, uv):
+                  normal, tangent, bitangent, inside, uv, kc=None):
     """Evaluate f*cos and the sampling pdf of `wi` for every lane
-    (NEE MIS, csrt EvaluateRayPath path.cpp:238-266)."""
+    (NEE MIS, csrt EvaluateRayPath path.cpp:238-266).
+
+    bid < 0 (null boundary) lanes evaluate invalid — a medium shell does
+    not scatter, so it gathers no direct lighting.  (The reference would
+    return pdf=1/atten=1 there, path.cpp:259-264, but its parser rejects
+    null BSDFs so the branch is dead code; valid=False is the physical
+    choice.)"""
+    null = bid < 0
     bid = jnp.maximum(bid, 0)
     n, inside = orient_frame(normal, tangent, bitangent, inside, -wi)
+    t, b = tangent, bitangent
     btype = tables.btype[bid]
+    if kc is None:
+        kc = (jnp.zeros((128, 128)), jnp.zeros((128,)))
 
     pdf = jnp.ones_like(wo[..., 0])
     atten = jnp.ones_like(wo)
     valid = jnp.zeros(wo.shape[:-1], jnp.bool_)
 
-    if BsdfType.DIFFUSE in present_types:
-        m = btype == BsdfType.DIFFUSE
-        p_, a_, v_ = _eval_diffuse(tex, tables.diffuse_tid[bid], uv, n, wi, wo)
+    def merge(m, p_, a_, v_):
+        nonlocal pdf, atten, valid
         pdf = jnp.where(m, p_, pdf)
         atten = jnp.where(m[..., None], a_, atten)
         valid = jnp.where(m, v_, valid)
 
+    if BsdfType.DIFFUSE in present_types:
+        m = btype == BsdfType.DIFFUSE
+        p_, a_, v_ = _eval_diffuse(tex, tables.diffuse_tid[bid], uv, n, wi, wo)
+        merge(m, p_, a_, v_)
+
+    if BsdfType.ROUGH_DIFFUSE in present_types:
+        m = btype == BsdfType.ROUGH_DIFFUSE
+        cos_i = dot(-wi, n)
+        cos_o = dot(wo, n)
+        p_ = INV_PI * jnp.maximum(cos_i, 0.0)
+        a_ = _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo)
+        v_ = (cos_i >= EPSILON) & (cos_o >= EPSILON)
+        merge(m, p_, a_, v_)
+
+    if BsdfType.CONDUCTOR in present_types:
+        m = btype == BsdfType.CONDUCTOR
+        p_, a_, v_ = _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b)
+        merge(m, p_, a_, v_)
+
+    if BsdfType.DIELECTRIC in present_types:
+        m = btype == BsdfType.DIELECTRIC
+        p_, a_, v_ = _eval_dielectric(
+            tables, tex, kc, bid, uv, wi, wo, n, t, b, inside
+        )
+        merge(m, p_, a_, v_)
+
+    if BsdfType.THIN_DIELECTRIC in present_types:
+        m = btype == BsdfType.THIN_DIELECTRIC
+        p_, a_, v_ = _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b)
+        merge(m, p_, a_, v_)
+
+    if BsdfType.PLASTIC in present_types:
+        m = btype == BsdfType.PLASTIC
+        p_, a_, v_ = _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b)
+        merge(m, p_, a_, v_)
+
+    valid = valid & ~null
     return pdf, atten, valid
 
 

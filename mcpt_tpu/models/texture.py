@@ -77,11 +77,21 @@ class TextureBuilder:
                 height=h,
                 channels=c,
                 uv_transform=uv_transform,
+                part=len(self.atlas_parts),
             )
         )
         self.atlas_parts.append(flat)
         self.atlas_size += flat.size
         return len(self.infos) - 1
+
+    def bitmap_pixels(self, tid: int) -> np.ndarray:
+        """Host-side [H, W, C] pixels of a registered bitmap (for envmap
+        CDF builds, csrt CreateEnvMapCdfPdf's host read)."""
+        info = self.infos[tid]
+        assert info["type"] == TEX_BITMAP, f"texture {tid} is not a bitmap"
+        return self.atlas_parts[info["part"]].reshape(
+            info["height"], info["width"], info["channels"]
+        )
 
     def build(self) -> TextureTables:
         t = max(len(self.infos), 1)

@@ -33,8 +33,11 @@ class GeomHit(NamedTuple):
     inside: jnp.ndarray   # [N] bool — hit the back face (det < 0)
 
 
-def _leaf_intersect(geom, o, d, t_min, best, base, leaf_size):
-    """Test `leaf_size` consecutive sorted prims starting at `base`."""
+def _leaf_intersect(geom, o, d, t_min, best, base, leaf_size, any_hit):
+    """Test `leaf_size` consecutive sorted prims starting at `base`.
+
+    Shadow (any-hit) queries skip non-opaque prims — null-boundary
+    medium shells never occlude."""
     t_best, prim_best, v_best, w_best, in_best, valid = best
     for k in range(leaf_size):
         pid = base + k
@@ -43,6 +46,8 @@ def _leaf_intersect(geom, o, d, t_min, best, base, leaf_size):
         e2 = geom.e2[pid]
         hit, t, v, w, det_inv = intersect_triangle(o, d, p0, e1, e2, t_min, t_best)
         take = hit
+        if any_hit:
+            take = take & geom.opaque[pid]
         t_best = jnp.where(take, t, t_best)
         prim_best = jnp.where(take, pid, prim_best)
         v_best = jnp.where(take, v, v_best)
@@ -93,7 +98,8 @@ def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
         # --- leaf: intersect primitives; padding prims have zero edges
         base = (node - first_leaf) * leaf_size
         leaf_best = _leaf_intersect(
-            geom, o, d, t_min, best, jnp.where(do_leaf, base, 0), leaf_size
+            geom, o, d, t_min, best, jnp.where(do_leaf, base, 0), leaf_size,
+            any_hit,
         )
         best = tuple(jnp.where(do_leaf, lb, b) for lb, b in zip(leaf_best, best))
         if any_hit:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mcpt_tpu.integrators import path as path_integrator
+from mcpt_tpu.integrators import volpath as volpath_integrator
 from mcpt_tpu.ops import rng
 from mcpt_tpu.render.camera import Camera, generate_rays, make_camera
 from mcpt_tpu.scene.compile import SceneData, compile_scene
@@ -38,13 +39,18 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
     n = pixel_idx.shape[0]
     seed0 = rng.pixel_seed(pixel_idx, frame_base)
     acc0 = jnp.zeros((n, 3), jnp.float32)
+    shade = (
+        volpath_integrator.shade
+        if integ.itype == "volpath"
+        else path_integrator.shade
+    )
 
     def body(s, carry):
         acc, seed = carry
         u = s.astype(jnp.float32) / spp
         v = rng.van_der_corput_base2(jnp.asarray(s + 1, jnp.uint32))
         o, d = generate_rays(camera, pixel_idx, u, v)
-        radiance, seed = path_integrator.shade(
+        radiance, seed = shade(
             scene, integ, o, d, seed, differentiable=differentiable
         )
         if integ.sample_clamp > 0:

@@ -22,9 +22,17 @@ import numpy as np
 
 from mcpt_tpu.models import kulla_conty
 from mcpt_tpu.models.bsdf import BsdfTables, build_bsdf_tables
+from mcpt_tpu.models.emitter import (
+    EmitterTables,
+    EnvMapData,
+    build_emitter_tables,
+    build_envmap,
+    empty_envmap,
+)
+from mcpt_tpu.models.medium import MediumTables, build_medium_tables
 from mcpt_tpu.models.texture import TextureTables
 from mcpt_tpu.scene.geometry import Geometry, commit_geometry
-from mcpt_tpu.scene.ir import BsdfType, RendererConfig
+from mcpt_tpu.scene.ir import BsdfType, EmitterType, RendererConfig
 from mcpt_tpu.scene.shapes import instance_triangles, triangle_areas
 
 
@@ -58,12 +66,23 @@ class SceneData:
     map_inst_light_pdf: jnp.ndarray  # [I] f32 — pdf_area if instance is an
     #                                  area light else 0 (P(light)/area)
     em: EmissiveTris
+    emitters: EmitterTables          # analytic lights (SoA rows)
+    env: EnvMapData                  # envmap CDFs (placeholder when absent)
+    media: MediumTables              # participating media (SoA rows)
+    map_inst_medium_int: jnp.ndarray  # [I] int32 (-1 = vacuum)
+    map_inst_medium_ext: jnp.ndarray  # [I] int32
     brdf_avg: jnp.ndarray            # [128, 128] Kulla-Conty E(mu, alpha)
     albedo_avg: jnp.ndarray          # [128]
     # static facts
     n_emissive: int = flax.struct.field(pytree_node=False)
     present_types: tuple = flax.struct.field(pytree_node=False)
-    has_envmap: bool = flax.struct.field(pytree_node=False, default=False)
+    # ((row, etype_int), ...) for the NEE loop over harsh analytic lights
+    emitter_rows: tuple = flax.struct.field(pytree_node=False, default=())
+    # "none" | "envmap" | "constant" — the escape emitter
+    # (csrt registers constant under id_envmap too, renderer.cpp:560-563)
+    env_kind: str = flax.struct.field(pytree_node=False, default="none")
+    env_row: int = flax.struct.field(pytree_node=False, default=-1)
+    sun_row: int = flax.struct.field(pytree_node=False, default=-1)
 
 
 def compile_scene(config: RendererConfig) -> SceneData:
@@ -100,13 +119,27 @@ def compile_scene(config: RendererConfig) -> SceneData:
     )
     tri_inst = np.concatenate(all_inst, axis=0)
 
-    geom = commit_geometry(tri_pos, tri_nrm, tri_uv, tri_tan, tri_inst)
+    # null-boundary (medium shell) triangles never block shadow rays
+    inst_bsdf_arr = np.array(
+        [i.id_bsdf for i in config.instances] or [0], np.int32
+    )
+    tri_opaque = inst_bsdf_arr[tri_inst] >= 0
 
-    # --- instance -> bsdf map
+    geom = commit_geometry(
+        tri_pos, tri_nrm, tri_uv, tri_tan, tri_inst, tri_opaque=tri_opaque
+    )
+
+    # --- instance -> bsdf / medium maps (csrt instance.hpp:40-51 binding)
     n_inst = len(config.instances)
     map_inst_bsdf = np.array(
         [i.id_bsdf for i in config.instances], np.int32
     ) if n_inst else np.zeros(0, np.int32)
+    map_med_int = np.array(
+        [i.id_medium_int for i in config.instances] or [-1], np.int32
+    )
+    map_med_ext = np.array(
+        [i.id_medium_ext for i in config.instances] or [-1], np.int32
+    )
 
     # --- area lights: weight CDF over lights x area CDF within light
     # (csrt renderer.cpp:272-304)
@@ -165,6 +198,25 @@ def compile_scene(config: RendererConfig) -> SceneData:
         bsdf_id=jnp.asarray(em_bsdf),
     )
 
+    # --- emitters (csrt CommitEmitters, renderer.cpp:522-620)
+    emitter_rows = []
+    env_kind, env_row, sun_row = "none", -1, -1
+    env = empty_envmap()
+    for row, info in enumerate(config.emitters):
+        if info.etype == EmitterType.ENVMAP:
+            pixels = config.textures.bitmap_pixels(info.id_texture)
+            if pixels.shape[-1] == 1:
+                pixels = np.repeat(pixels, 3, axis=-1)
+            env = build_envmap(pixels, info.to_world, info.id_texture)
+            env_kind, env_row = "envmap", row
+        elif info.etype == EmitterType.CONSTANT:
+            env_kind, env_row = "constant", row
+        else:
+            emitter_rows.append((row, int(info.etype)))
+            if info.etype == EmitterType.SUN:
+                sun_row = row
+    emitters = build_emitter_tables(config.emitters)
+
     # --- textures + bsdfs
     tex = config.textures.build()
     bsdf = build_bsdf_tables(config.bsdfs)
@@ -187,11 +239,19 @@ def compile_scene(config: RendererConfig) -> SceneData:
         map_inst_bsdf=jnp.asarray(map_inst_bsdf if n_inst else np.zeros(1, np.int32)),
         map_inst_light_pdf=jnp.asarray(map_inst_light_pdf),
         em=em,
+        emitters=emitters,
+        env=env,
+        media=build_medium_tables(config.media),
+        map_inst_medium_int=jnp.asarray(map_med_int),
+        map_inst_medium_ext=jnp.asarray(map_med_ext),
         brdf_avg=jnp.asarray(brdf_avg),
         albedo_avg=jnp.asarray(albedo_avg),
         n_emissive=len(em_rows),
         present_types=present,
-        has_envmap=False,
+        emitter_rows=tuple(emitter_rows),
+        env_kind=env_kind,
+        env_row=env_row,
+        sun_row=sun_row,
     )
 
 

@@ -39,6 +39,8 @@ class Geometry:
     uv1: jnp.ndarray
     uv2: jnp.ndarray
     inst_id: jnp.ndarray  # [P] int32 (padding = 0; masked by hit validity)
+    opaque: jnp.ndarray   # [P] bool — blocks shadow rays (null-boundary
+    #                       medium shells don't; padding False)
     # implicit BVH
     node_min: jnp.ndarray  # [M, 3]
     node_max: jnp.ndarray  # [M, 3]
@@ -72,11 +74,17 @@ def commit_geometry(
     tri_tangents: np.ndarray | None,    # [P, 3, 3]
     tri_inst_id: np.ndarray,     # [P]
     leaf_size: int = 4,
+    tri_opaque: np.ndarray | None = None,  # [P] bool; default all-opaque
 ) -> Geometry:
     """Build the device Geometry from host triangle soup."""
     pos = np.asarray(tri_positions, np.float32)
     p = pos.shape[0]
     inst = np.asarray(tri_inst_id, np.int32)
+    opaque = (
+        np.ones(p, np.bool_)
+        if tri_opaque is None
+        else np.asarray(tri_opaque, np.bool_)
+    )
 
     gn = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
     gn_len = np.linalg.norm(gn, axis=-1, keepdims=True)
@@ -120,6 +128,7 @@ def commit_geometry(
     tan_s = pick(tangents)
     bit_s = pick(bitangents)
     inst_s = pick(inst.astype(np.int32))
+    opaque_s = pick(opaque)
 
     return Geometry(
         p0=jnp.asarray(pos_s[:, 0]),
@@ -138,6 +147,7 @@ def commit_geometry(
         uv1=jnp.asarray(uv_s[:, 1]),
         uv2=jnp.asarray(uv_s[:, 2]),
         inst_id=jnp.asarray(inst_s),
+        opaque=jnp.asarray(opaque_s),
         node_min=jnp.asarray(bvh.node_min),
         node_max=jnp.asarray(bvh.node_max),
         n_pad_leaves=bvh.n_pad_leaves,

@@ -85,8 +85,16 @@ class BsdfInfo:
     id_roughness_v: int = -1
     id_specular_reflectance: int = -1
     id_specular_transmittance: int = -1
-    id_reflectivity: int = -1         # conductor F0 color
-    id_edgetint: int = -1             # conductor edge tint
+    # conductor Gulbrandsen parametrization as plain RGB values — the
+    # parser derives them from (eta, k) (csrt parser.cpp:944-949) and the
+    # reference stores them as Vec3, not textures (conductor ctor
+    # bsdf.cpp:148-151)
+    reflectivity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
+    edgetint: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.ones(3, np.float32)
+    )
     eta: float = 1.5                  # dielectric / thin / plastic scalar IOR
     use_fast_approx: bool = False     # rough diffuse
 
@@ -126,9 +134,15 @@ class InstanceInfo:
         default_factory=lambda: np.eye(4, dtype=np.float32)
     )
     mesh: Optional[MeshData] = None         # for shape == "mesh"
-    radius: float = 1.0                     # sphere
+    radius: float = 1.0                     # sphere / cylinder
     center: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3, np.float32)
+    )
+    p0: np.ndarray = dataclasses.field(      # cylinder endpoints
+        default_factory=lambda: np.zeros(3, np.float32)
+    )
+    p1: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 0.0, 1.0], np.float32)
     )
     flip_normals: bool = False
     id_bsdf: int = -1

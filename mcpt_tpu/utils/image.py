@@ -235,11 +235,11 @@ def read_exr(path: str) -> np.ndarray:
     x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][0]
-    if comp not in (0, 2, 3):
+    if comp not in (0, 2, 3, 4):
         raise NotImplementedError(
-            f"EXR compression {comp} unsupported (none/ZIPS/ZIP only)"
+            f"EXR compression {comp} unsupported (none/ZIPS/ZIP/PIZ only)"
         )
-    block = {0: 1, 2: 1, 3: 16}[comp]
+    block = {0: 1, 2: 1, 3: 16, 4: 32}[comp]
 
     # channel list
     chans = []
@@ -263,6 +263,19 @@ def read_exr(path: str) -> np.ndarray:
         (size,) = struct.unpack_from("<i", data, off + 4)
         payload = data[off + 8 : off + 8 + size]
         rows = min(block, y1 - y + 1)
+        if comp == 4:  # PIZ via the native decoder (half channels only)
+            from mcpt_tpu import native
+
+            if any(t != 1 for _, t in chans):
+                raise NotImplementedError("PIZ with float32 channels")
+            planes = native.piz_uncompress(
+                payload, [w] * len(chans), [rows] * len(chans)
+            )
+            for (cname, _), plane in zip(chans, planes):
+                out[cname][y - y0 : y - y0 + rows] = plane.view(
+                    np.float16
+                ).astype(np.float32)
+            continue
         expect = sum(w * bpp[t] for _, t in chans) * rows
         raw = _exr_unpack(payload, expect)
         rpos = 0

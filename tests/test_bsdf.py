@@ -1,0 +1,260 @@
+"""BSDF unit tests the reference never had (SURVEY.md §4): white-furnace
+energy checks, sample/eval pdf consistency, Snell's-law limits."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpt_tpu.models import bsdf as B
+from mcpt_tpu.models import kulla_conty
+from mcpt_tpu.models.texture import TextureBuilder
+from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
+
+
+def make_tables(info: BsdfInfo, textures: TextureBuilder):
+    tables = B.build_bsdf_tables([info])
+    tex = textures.build()
+    return tables, tex
+
+
+def frame(n=200000, seed=0, cos_o=0.6):
+    """Fixed shading frame with wo at the given polar cosine."""
+    r = np.random.default_rng(seed)
+    xi = jnp.asarray(r.random((B.N_SAMPLE_DRAWS, n), dtype=np.float32))
+    sin_o = np.sqrt(1 - cos_o**2)
+    wo = jnp.broadcast_to(
+        jnp.asarray([sin_o, 0.0, cos_o], jnp.float32), (n, 3)
+    )
+    normal = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n, 3))
+    tangent = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), (n, 3))
+    bitangent = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), (n, 3))
+    inside = jnp.zeros(n, jnp.bool_)
+    uv = jnp.zeros((n, 2), jnp.float32)
+    bid = jnp.zeros(n, jnp.int32)
+    return xi, wo, normal, tangent, bitangent, inside, uv, bid
+
+
+def sample(info, textures, cos_o=0.6, n=200000, kc=None):
+    tables, tex = make_tables(info, textures)
+    xi, wo, nrm, t, b, inside, uv, bid = frame(n, cos_o=cos_o)
+    return B.bsdf_sample(
+        tables, tex, (int(info.btype),), bid, wo, nrm, t, b, inside, uv, xi,
+        kc=kc,
+    ), (tables, tex, wo, nrm, t, b, inside, uv, bid)
+
+
+class TestConductor:
+    def _info(self, rough, refl=1.0):
+        tb = TextureBuilder()
+        r = tb.add_constant([rough] * 3)
+        return (
+            BsdfInfo(
+                btype=BsdfType.CONDUCTOR,
+                id_roughness_u=r,
+                id_roughness_v=r,
+                reflectivity=np.full(3, refl, np.float32),
+                edgetint=np.ones(3, np.float32),
+            ),
+            tb,
+        )
+
+    @pytest.mark.parametrize("rough", [0.1, 0.3, 0.6])
+    def test_white_furnace_with_kulla_conty(self, rough):
+        """Perfect mirror reflectivity (F0=1) + KC compensation must
+        conserve energy: E[f*cos/pdf] ~ 1 (csrt's stated purpose,
+        kulla_conty.cpp)."""
+        kc = tuple(map(jnp.asarray, kulla_conty.get_tables()))
+        info, tb = self._info(rough)
+        (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=0.7, kc=kc)
+        w = np.asarray(jnp.where(valid, atten[:, 0] / jnp.maximum(pdf, 1e-12), 0.0))
+        v = np.asarray(valid)
+        # NDF (non-visible-normal) sampling wastes below-horizon samples at
+        # high roughness — same physics as the reference; KC compensates
+        # the multi-scatter part, so valid-lane energy sits near 1.
+        assert v.mean() > 0.6
+        assert 0.9 < w[v].mean() < 1.2, f"energy {w[v].mean()} at rough {rough}"
+        assert w.mean() > 0.7
+
+    def test_sample_eval_consistent(self):
+        kc = tuple(map(jnp.asarray, kulla_conty.get_tables()))
+        info, tb = self._info(0.4, refl=0.8)
+        (wi, pdf, atten, valid), (tables, tex, wo, n, t, b, inside, uv, bid) = sample(
+            info, tb, cos_o=0.6, n=20000, kc=kc
+        )
+        pdf_e, atten_e, valid_e = B.bsdf_evaluate(
+            tables, tex, (int(info.btype),), bid, wi, wo, n, t, b, inside, uv,
+            kc=kc,
+        )
+        m = np.asarray(valid & valid_e)
+        np.testing.assert_allclose(
+            np.asarray(pdf)[m], np.asarray(pdf_e)[m], rtol=2e-2, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(atten)[m], np.asarray(atten_e)[m], rtol=3e-2, atol=1e-3
+        )
+
+    def test_mirror_limit_direction(self):
+        """Near-zero roughness: sampled wi is the mirror direction."""
+        info, tb = self._info(0.001)
+        (wi, pdf, atten, valid), (_, _, wo, n, *_) = sample(
+            info, tb, cos_o=0.5, n=1000
+        )
+        mirror = -(2 * 0.5 * jnp.asarray([0.0, 0.0, 1.0]) - wo[0])
+        got = np.asarray(wi)[np.asarray(valid)]
+        np.testing.assert_allclose(
+            got, np.broadcast_to(np.asarray(mirror), got.shape), atol=5e-2
+        )
+
+
+class TestDielectric:
+    def _info(self, rough, eta=1.5):
+        tb = TextureBuilder()
+        r = tb.add_constant([rough] * 3)
+        return (
+            BsdfInfo(
+                btype=BsdfType.DIELECTRIC,
+                id_roughness_u=r,
+                id_roughness_v=r,
+                eta=eta,
+            ),
+            tb,
+        )
+
+    def test_snell_refraction_at_smooth_limit(self):
+        info, tb = self._info(0.001, eta=1.5)
+        kc = tuple(map(jnp.asarray, kulla_conty.get_tables()))
+        cos_o = 0.8
+        (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=cos_o, n=50000, kc=kc)
+        wi = np.asarray(wi)
+        v = np.asarray(valid)
+        # transmitted lanes have wi_z > 0 (wi points from inside up toward
+        # the surface: -wi = continuation dir goes down, so (-wi).z < 0)
+        trans = v & (wi[:, 2] > 0)
+        refl = v & (wi[:, 2] < 0)
+        assert trans.sum() > 1000 and refl.sum() > 1000
+        # Snell: sin(theta_t) = sin(theta_i)/eta
+        sin_i = np.sqrt(1 - cos_o**2)
+        sin_t = np.sqrt(wi[trans][:, 0] ** 2 + wi[trans][:, 1] ** 2)
+        assert abs(np.median(sin_t) - sin_i / 1.5) < 1e-3
+        assert np.percentile(np.abs(sin_t - sin_i / 1.5), 95) < 2e-2
+        # reflection fraction ~ Fresnel-Schlick of the reflectivity
+        f0 = (0.5 / 2.5) ** 2
+        f = f0 + (1 - f0) * (1 - cos_o) ** 5
+        assert abs(refl.sum() / v.sum() - f) < 0.02
+
+    def test_energy_bounded(self):
+        kc = tuple(map(jnp.asarray, kulla_conty.get_tables()))
+        info, tb = self._info(0.3)
+        (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=0.6, kc=kc)
+        w = np.asarray(
+            jnp.where(valid, atten[:, 0] / jnp.maximum(pdf, 1e-12), 0.0)
+        )
+        # transmitted radiance is compressed by eta^2 entering the denser
+        # medium (re-expanded on exit) — csrt dielectric.cpp:136-139 — so
+        # single-interface "energy" sits well below 1 by design
+        assert 0.4 < w.mean() < 1.1
+
+
+class TestThinDielectric:
+    def test_passthrough_and_reflection(self):
+        tb = TextureBuilder()
+        r = tb.add_constant([0.001] * 3)
+        info = BsdfInfo(
+            btype=BsdfType.THIN_DIELECTRIC,
+            id_roughness_u=r,
+            id_roughness_v=r,
+            eta=1.5,
+        )
+        cos_o = 0.7
+        (wi, pdf, atten, valid), (_, _, wo, *_) = sample(info, tb, cos_o=cos_o)
+        wi = np.asarray(wi)
+        v = np.asarray(valid)
+        wo0 = np.asarray(wo)[0]
+        # transmitted lanes: wi == wo (straight pass-through)
+        trans = v & (np.abs(wi - wo0).max(axis=1) < 1e-3)
+        refl = v & ~trans
+        # double-interface Fresnel F* = 2F/(1+F)
+        f0 = (0.5 / 2.5) ** 2
+        f = f0 + (1 - f0) * (1 - cos_o) ** 5
+        f_star = 2 * f / (1 + f)
+        frac = refl.sum() / v.sum()
+        assert abs(frac - f_star) < 0.02
+        # energy: atten/pdf ~ 1 in both branches at smooth limit
+        w = np.where(v, np.asarray(atten)[:, 0] / np.maximum(np.asarray(pdf), 1e-12), 0)
+        assert abs(w[v].mean() - 1.0) < 0.1
+
+
+class TestPlastic:
+    def test_energy_bounded_and_positive(self):
+        tb = TextureBuilder()
+        kd = tb.add_constant([0.5, 0.5, 0.5])
+        r = tb.add_constant([0.3] * 3)
+        info = BsdfInfo(
+            btype=BsdfType.PLASTIC,
+            id_diffuse_reflectance=kd,
+            id_roughness=r,
+            eta=1.49,
+        )
+        (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=0.6)
+        v = np.asarray(valid)
+        assert v.mean() > 0.9
+        w = np.asarray(atten)[v, 0] / np.maximum(np.asarray(pdf)[v], 1e-12)
+        assert 0.2 < w.mean() < 1.0  # bounded by albedo-ish energy
+
+    def test_sample_eval_pdf_consistent(self):
+        tb = TextureBuilder()
+        kd = tb.add_constant([0.4, 0.4, 0.4])
+        r = tb.add_constant([0.4] * 3)
+        info = BsdfInfo(
+            btype=BsdfType.PLASTIC,
+            id_diffuse_reflectance=kd,
+            id_roughness=r,
+            eta=1.49,
+        )
+        (wi, pdf, atten, valid), (tables, tex, wo, n, t, b, inside, uv, bid) = sample(
+            info, tb, cos_o=0.6, n=20000
+        )
+        pdf_e, atten_e, valid_e = B.bsdf_evaluate(
+            tables, tex, (int(info.btype),), bid, wi, wo, n, t, b, inside, uv
+        )
+        m = np.asarray(valid & valid_e)
+        # the diffuse-lobe pdf uses n_dot_i in Sample but n_dot_o in
+        # Evaluate (reference quirk kept verbatim, plastic.cpp:66,127) so
+        # compare only the shared specular structure loosely
+        ratio = np.asarray(pdf)[m] / np.asarray(pdf_e)[m]
+        assert np.isfinite(ratio).all()
+        assert 0.2 < np.median(ratio) < 5.0
+
+
+class TestRoughDiffuse:
+    def test_reduces_to_lambert_at_zero_sigma(self):
+        tb = TextureBuilder()
+        a = tb.add_constant([0.6, 0.6, 0.6])
+        s = tb.add_constant([0.0] * 3)
+        info = BsdfInfo(
+            btype=BsdfType.ROUGH_DIFFUSE,
+            id_diffuse_reflectance=a,
+            id_roughness=s,
+            use_fast_approx=True,
+        )
+        (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=0.6, n=50000)
+        v = np.asarray(valid)
+        w = np.asarray(atten)[v, 0] / np.maximum(np.asarray(pdf)[v], 1e-12)
+        # sigma=0 Oren-Nayar == Lambert: f*cos/pdf = albedo
+        np.testing.assert_allclose(w, 0.6, atol=1e-3)
+
+    def test_energy_bounded(self):
+        tb = TextureBuilder()
+        a = tb.add_constant([0.8, 0.8, 0.8])
+        s = tb.add_constant([0.5] * 3)
+        for fast in (True, False):
+            info = BsdfInfo(
+                btype=BsdfType.ROUGH_DIFFUSE,
+                id_diffuse_reflectance=a,
+                id_roughness=s,
+                use_fast_approx=fast,
+            )
+            (wi, pdf, atten, valid), _ = sample(info, tb, cos_o=0.6)
+            v = np.asarray(valid)
+            w = np.asarray(atten)[v, 0] / np.maximum(np.asarray(pdf)[v], 1e-12)
+            assert 0.3 < w.mean() <= 1.05, f"fast={fast}: {w.mean()}"

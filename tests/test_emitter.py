@@ -1,0 +1,282 @@
+"""Emitter tests: analytic closed forms (point inverse-square, constant
+furnace) and envmap importance-sampling consistency (SURVEY.md §4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpt_tpu.models import emitter as E
+from mcpt_tpu.models.texture import TextureBuilder
+from mcpt_tpu.render.renderer import Renderer
+from mcpt_tpu.scene.ir import (
+    BsdfInfo,
+    BsdfType,
+    CameraInfo,
+    EmitterInfo,
+    EmitterType,
+    InstanceInfo,
+    IntegratorInfo,
+    RendererConfig,
+)
+from tests.test_integrator import rot_x
+
+
+def floor_scene(emitter, spp=64, res=8, depth_max=2, albedo=0.75):
+    tex = TextureBuilder()
+    white = tex.add_constant([albedo] * 3)
+    bsdfs = [BsdfInfo(btype=BsdfType.DIFFUSE, id_diffuse_reflectance=white)]
+    floor = InstanceInfo(
+        shape="rectangle", id_bsdf=0, to_world=rot_x(-90.0, scale=50.0)
+    )
+    cam = CameraInfo(
+        width=res,
+        height=res,
+        spp=spp,
+        fov_x=30.0,
+        eye=np.array([0.0, 1.0, 3.0], np.float32),
+        look_at=np.array([0.0, 0.0, 0.0], np.float32),
+    )
+    return RendererConfig(
+        camera=cam,
+        integrator=IntegratorInfo(depth_max=depth_max, sample_clamp=0.0),
+        textures=tex,
+        bsdfs=bsdfs,
+        instances=[floor],
+        emitters=[emitter],
+    )
+
+
+def center_hit_point():
+    eye = np.array([0.0, 1.0, 3.0])
+    d = np.array([0.0, 0.0, 0.0]) - eye
+    d /= np.linalg.norm(d)
+    t = -eye[1] / d[1]
+    return eye + t * d
+
+
+def pixel_hit_points(cfg):
+    """Floor (y=0) hit point of every pixel-center ray, [H, W, 3]."""
+    cam = cfg.camera
+    eye = np.asarray(cam.eye, np.float64)
+    front = np.asarray(cam.look_at, np.float64) - eye
+    front /= np.linalg.norm(front)
+    up0 = np.asarray(cam.up, np.float64)
+    right = np.cross(front, up0)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, front)
+    fov_y = cam.fov_x * cam.height / cam.width
+    dx = right * np.tan(np.radians(cam.fov_x / 2))
+    dy = up * np.tan(np.radians(fov_y / 2))
+    i, j = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
+    x = 2 * (i + 0.5) / cam.width - 1
+    y = 1 - 2 * (j + 0.5) / cam.height
+    d = front + x[..., None] * dx + y[..., None] * dy
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = -eye[1] / d[..., 1]
+    return eye + t[..., None] * d
+
+
+class TestPointLight:
+    def test_inverse_square_closed_form(self):
+        """Lo = albedo/pi * I * cos(theta) / d^2, checked per pixel."""
+        light_pos = np.array([1.0, 2.0, 0.5], np.float32)
+        intensity = np.array([10.0, 10.0, 10.0], np.float32)
+        cfg = floor_scene(
+            EmitterInfo(
+                etype=EmitterType.POINT,
+                position=light_pos,
+                intensity=intensity,
+            ),
+            spp=16,
+        )
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        p = pixel_hit_points(cfg)
+        v = light_pos[None, None] - p
+        d2 = (v**2).sum(-1)
+        cos = v[..., 1] / np.sqrt(d2)
+        expected = 0.75 / np.pi * 10.0 * cos / d2
+        np.testing.assert_allclose(img[..., 0], expected, rtol=5e-2, atol=2e-3)
+
+    def test_shadowing(self):
+        """A blocker between light and floor kills the contribution."""
+        light_pos = np.array([0.0, 2.0, 0.0], np.float32)
+        cfg = floor_scene(
+            EmitterInfo(etype=EmitterType.POINT, position=light_pos),
+            spp=4,
+        )
+        blocker = InstanceInfo(
+            shape="rectangle",
+            id_bsdf=0,
+            to_world=rot_x(-90.0, scale=0.5, ty=1.0),
+        )
+        cfg.instances.append(blocker)
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        assert img[4, 4].max() < 1e-6  # center shadowed
+
+
+class TestDirectionalLight:
+    def test_cosine_scaling(self):
+        direction = np.array([0.0, -1.0, 0.0], np.float32)  # straight down
+        cfg = floor_scene(
+            EmitterInfo(
+                etype=EmitterType.DIRECTIONAL,
+                direction=direction,
+                radiance=np.array([2.0, 2.0, 2.0], np.float32),
+            ),
+            spp=4,
+        )
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        expected = 0.75 / np.pi * 2.0 * 1.0  # cos = 1
+        np.testing.assert_allclose(img[4, 4], expected, rtol=1e-3)
+
+
+class TestConstantLight:
+    def test_furnace_single_plane(self):
+        """Floor under a constant sky: Lo = albedo * R exactly (NEE over
+        the upper hemisphere + MIS'd escape)."""
+        cfg = floor_scene(
+            EmitterInfo(
+                etype=EmitterType.CONSTANT,
+                radiance=np.array([1.0, 1.0, 1.0], np.float32),
+            ),
+            spp=512,
+            depth_max=3,
+        )
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        np.testing.assert_allclose(img[4, 4], 0.75, rtol=3e-2)
+
+    def test_escape_sees_radiance(self):
+        cfg = floor_scene(
+            EmitterInfo(
+                etype=EmitterType.CONSTANT,
+                radiance=np.array([0.3, 0.5, 0.7], np.float32),
+            ),
+            spp=4,
+        )
+        cfg.camera.look_at = np.array([0.0, 5.0, 3.0], np.float32)  # sky
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        np.testing.assert_allclose(img[4, 4], [0.3, 0.5, 0.7], rtol=1e-4)
+
+
+class TestEnvMap:
+    def _env(self, h=16, w=32):
+        r = np.random.default_rng(3)
+        pixels = (r.random((h, w, 3)) + 0.05).astype(np.float32)
+        pixels[h // 4, w // 3] *= 50.0  # a bright texel
+        tb = TextureBuilder()
+        tid = tb.add_bitmap(pixels)
+        env = E.build_envmap(pixels, np.eye(4, dtype=np.float32), tid)
+        return env, tb.build(), pixels
+
+    def test_pdf_integrates_to_one(self):
+        env, tex, _ = self._env()
+        r = np.random.default_rng(0)
+        n = 200000
+        xi0 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        from mcpt_tpu.ops.warps import sample_sphere_uniform
+
+        dirs = sample_sphere_uniform(xi0, xi1)
+        pdf = np.asarray(E.pdf_envmap(env, tex, dirs))
+        integral = pdf.mean() * 4.0 * np.pi
+        assert abs(integral - 1.0) < 0.02
+
+    def test_sample_pdf_consistency(self):
+        """E[g/p] under the sampler equals the uniform-sphere integral of
+        g for a smooth test function g."""
+        env, tex, _ = self._env()
+        r = np.random.default_rng(1)
+        n = 200000
+        xi0 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        origin = jnp.zeros((n, 3), jnp.float32)
+        wi, dist, rad, pdf, valid = E.sample_envmap(env, tex, origin, xi0, xi1)
+        look = -np.asarray(wi)  # direction toward the env
+        g = look[:, 2] ** 2  # smooth test function
+        est = (g / np.maximum(np.asarray(pdf), 1e-12)).mean()
+        assert abs(est - 4.0 * np.pi / 3.0) < 0.15
+
+    def test_sampled_radiance_matches_eval(self):
+        """Radiance returned by sample == eval_envmap of the direction."""
+        env, tex, _ = self._env()
+        r = np.random.default_rng(2)
+        n = 5000
+        xi0 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        origin = jnp.zeros((n, 3), jnp.float32)
+        wi, dist, rad, pdf, valid = E.sample_envmap(env, tex, origin, xi0, xi1)
+        rad_eval = E.eval_envmap(env, tex, -wi)
+        # bilinear filtering vs texel-center sampling: compare loosely
+        err = np.abs(np.asarray(rad) - np.asarray(rad_eval)) / (
+            np.asarray(rad) + 0.1
+        )
+        assert np.median(err) < 0.25
+
+    def test_importance_proportional_to_luminance(self):
+        """The bright texel draws proportionally more samples."""
+        env, tex, pixels = self._env()
+        r = np.random.default_rng(4)
+        n = 100000
+        xi0 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        origin = jnp.zeros((n, 3), jnp.float32)
+        wi, _, _, pdf, _ = E.sample_envmap(env, tex, origin, xi0, xi1)
+        look = -np.asarray(wi)
+        theta = np.arccos(np.clip(look[:, 1], -1, 1))
+        phi = np.arctan2(look[:, 2], look[:, 0])
+        phi = np.where(phi < 0, phi + 2 * np.pi, phi)
+        h, w = pixels.shape[:2]
+        row = np.clip((theta / np.pi * h).astype(int), 0, h - 1)
+        col = np.clip((phi / (2 * np.pi) * w).astype(int), 0, w - 1)
+        frac_bright = ((row == h // 4) & (col == w // 3)).mean()
+        lum = pixels @ np.array([0.2126, 0.7152, 0.0722])
+        sin_r = np.sin((np.arange(h) + 0.5) * np.pi / h)
+        f = lum * sin_r[:, None]
+        expected = f[h // 4, w // 3] / f.sum()
+        assert abs(frac_bright - expected) / expected < 0.1
+
+
+class TestSpotLight:
+    def test_cone_cutoff(self):
+        """Inside the beam: full intensity/d^2; outside the cutoff: zero."""
+        to_world = np.eye(4, dtype=np.float32)
+        # spot at (0,2,0) pointing down (-y): local +z -> world -y
+        to_world[:3, :3] = np.array(
+            [[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32
+        )
+        to_world[:3, 3] = [0.0, 2.0, 0.0]
+        cfg = floor_scene(
+            EmitterInfo(
+                etype=EmitterType.SPOT,
+                to_world=to_world,
+                intensity=np.array([10.0, 10.0, 10.0], np.float32),
+                cutoff_angle=20.0,
+                beam_width=15.0,
+            ),
+            spp=4,
+            res=16,
+        )
+        # look nearly straight down so pixels span angles inside and
+        # outside the 15deg/20deg cone
+        cfg.camera.eye = np.array([0.0, 1.0, 0.02], np.float32)
+        cfg.camera.look_at = np.array([0.0, 0.0, 0.0], np.float32)
+        cfg.camera.up = np.array([0.0, 0.0, -1.0], np.float32)
+        cfg.camera.fov_x = 100.0
+        img = np.asarray(Renderer(cfg).render(tile=256))
+        # per-pixel closed form inside the beam, zero outside the cutoff
+        p = pixel_hit_points(cfg)
+        v = np.array([0.0, 2.0, 0.0])[None, None] - p
+        d2 = (v**2).sum(-1)
+        dist = np.sqrt(d2)
+        cos_surf = v[..., 1] / dist
+        cos_axis = v[..., 1] / dist  # spot axis is -y; dir-to-surface vs axis
+        # margin: pixel footprints straddling the 15deg beam edge are
+        # partially attenuated; test well inside
+        inside_beam = cos_axis > np.cos(np.radians(12.0))
+        outside_cone = cos_axis < np.cos(np.radians(23.0))
+        expected = 0.75 / np.pi * 10.0 * cos_surf / d2
+        np.testing.assert_allclose(
+            img[inside_beam][:, 0], expected[inside_beam], rtol=0.05, atol=2e-3
+        )
+        assert outside_cone.any() and inside_beam.any()
+        assert img[outside_cone].max() < 1e-6

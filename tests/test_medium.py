@@ -1,0 +1,217 @@
+"""Media tests: free-flight estimator unbiasedness, HG phase moments,
+transmittance closed forms, and a volumetric render sanity check."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpt_tpu.models import medium as M
+from mcpt_tpu.models.texture import TextureBuilder
+from mcpt_tpu.render.renderer import Renderer
+from mcpt_tpu.scene.ir import (
+    BsdfInfo,
+    BsdfType,
+    EmitterInfo,
+    EmitterType,
+    InstanceInfo,
+    MediumInfo,
+)
+from tests.test_emitter import floor_scene
+from tests.test_integrator import rot_x
+
+
+def tables(sigma_a, sigma_s, phase="isotropic", g=0.0):
+    return M.build_medium_tables(
+        [
+            MediumInfo(
+                sigma_a=np.asarray(sigma_a, np.float32),
+                sigma_s=np.asarray(sigma_s, np.float32),
+                phase=phase,
+                g=np.full(3, g, np.float32),
+            )
+        ]
+    )
+
+
+def uniforms(n, k, seed=0):
+    r = np.random.default_rng(seed)
+    return [jnp.asarray(r.random(n, dtype=np.float32)) for _ in range(k)]
+
+
+class TestFreeFlight:
+    def test_transmittance_estimator_unbiased(self):
+        """E[weight * indicator(pass)] == T(d) for a finite segment:
+        the pass-through estimator must reproduce exp(-sigma_t * d)."""
+        t = tables([0.5, 1.0, 2.0], [1.0, 1.0, 1.0])
+        n = 400000
+        xi0, xi1 = uniforms(n, 2)
+        mid = jnp.zeros(n, jnp.int32)
+        max_d = 0.7
+        scattered, dist, weight, valid = M.sample_flight(t, mid, max_d, xi0, xi1)
+        # estimator of transmittance: weight on non-scattered lanes
+        w = np.where(
+            ~np.asarray(scattered)[:, None], np.asarray(weight), 0.0
+        )
+        sigma_t = np.array([1.5, 2.0, 3.0])
+        expected = np.exp(-sigma_t * max_d)
+        np.testing.assert_allclose(w.mean(axis=0), expected, rtol=2e-2)
+
+    def test_scatter_distance_distribution(self):
+        """Scattered distances follow the channel-mixture exponential."""
+        t = tables([0.0, 0.0, 0.0], [2.0, 2.0, 2.0])  # sigma_t = 2, sw = 1
+        n = 400000
+        xi0, xi1 = uniforms(n, 2, seed=5)
+        mid = jnp.zeros(n, jnp.int32)
+        scattered, dist, weight, valid = M.sample_flight(
+            t, mid, 1e9, xi0, xi1
+        )
+        d = np.asarray(dist)[np.asarray(scattered)]
+        assert len(d) > n * 0.99  # sw == 1: everything scatters
+        assert abs(d.mean() - 0.5) < 0.01  # E[d] = 1/sigma_t
+
+    def test_vacuum_identity(self):
+        t = tables([1.0] * 3, [1.0] * 3)
+        n = 1000
+        xi0, xi1 = uniforms(n, 2)
+        mid = jnp.full(n, -1, jnp.int32)
+        scattered, dist, weight, valid = M.sample_flight(t, mid, 3.0, xi0, xi1)
+        assert not np.asarray(scattered).any()
+        np.testing.assert_array_equal(np.asarray(weight), 1.0)
+        assert np.asarray(valid).all()
+
+
+class TestTransmittanceEval:
+    def test_weight_formula(self):
+        t = tables([0.3, 0.4, 0.5], [0.5, 0.4, 0.3])
+        mid = jnp.zeros(4, jnp.int32)
+        dist = jnp.asarray([0.1, 1.0, 2.0, 5.0], jnp.float32)
+        weight, valid = M.eval_transmittance(t, mid, dist)
+        sigma_t = np.array([0.8, 0.8, 0.8])
+        sw = max(0.5, (0.5 / 0.8))
+        T = np.exp(-sigma_t[None] * np.asarray(dist)[:, None])
+        pdf = sw * T.mean(axis=1) + (1 - sw)
+        np.testing.assert_allclose(
+            np.asarray(weight), T / pdf[:, None], rtol=1e-5
+        )
+
+
+class TestPhase:
+    def test_isotropic_uniform(self):
+        t = tables([0.0] * 3, [1.0] * 3, phase="isotropic")
+        n = 200000
+        xi0, xi1, xi2 = uniforms(n, 3)
+        mid = jnp.zeros(n, jnp.int32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        wi, pdf, atten, valid = M.sample_phase(t, mid, wo, xi0, xi1, xi2)
+        np.testing.assert_allclose(np.asarray(pdf), 1 / (4 * np.pi), rtol=1e-5)
+        assert np.abs(np.asarray(wi).mean(axis=0)).max() < 0.01
+
+    @pytest.mark.parametrize("g", [0.5, -0.5])
+    def test_hg_mean_cosine(self, g):
+        """E[cos(theta)] = g for Henyey-Greenstein."""
+        t = tables([0.0] * 3, [1.0] * 3, phase="hg", g=g)
+        n = 400000
+        xi0, xi1, xi2 = uniforms(n, 3, seed=7)
+        mid = jnp.zeros(n, jnp.int32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        wi, pdf, atten, valid = M.sample_phase(t, mid, wo, xi0, xi1, xi2)
+        cos = np.asarray(jnp.sum(-wi * wo, axis=-1))
+        assert abs(cos.mean() - g) < 0.01
+
+    def test_hg_sample_eval_consistent(self):
+        t = tables([0.0] * 3, [1.0] * 3, phase="hg", g=0.3)
+        n = 10000
+        xi0, xi1, xi2 = uniforms(n, 3, seed=9)
+        mid = jnp.zeros(n, jnp.int32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        wi, pdf, atten, valid = M.sample_phase(t, mid, wo, xi0, xi1, xi2)
+        pdf_e, atten_e, valid_e = M.eval_phase(t, mid, wi, wo)
+        np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf_e), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(atten), np.asarray(atten_e), rtol=1e-4
+        )
+
+    def test_hg_energy(self):
+        """E[atten/pdf] = 1 per channel (phase integrates to 1)."""
+        t = tables([0.0] * 3, [1.0] * 3, phase="hg", g=0.6)
+        n = 400000
+        xi0, xi1, xi2 = uniforms(n, 3, seed=11)
+        mid = jnp.zeros(n, jnp.int32)
+        wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        wi, pdf, atten, valid = M.sample_phase(t, mid, wo, xi0, xi1, xi2)
+        w = np.asarray(atten) / np.maximum(np.asarray(pdf), 1e-12)[:, None]
+        np.testing.assert_allclose(w.mean(axis=0), 1.0, rtol=2e-2)
+
+
+class TestVolpathRender:
+    def _slab_cfg(self, sigma_a, radiance=2.0, sigma_s=0.0, spp=16):
+        """Emissive wall at z=-3 seen through a null-boundary absorbing
+        slab spanning z in [-1, 0] (tests null pass-through + Beer-
+        Lambert + pdf_mis carry across null vertices)."""
+        from mcpt_tpu.models.texture import TextureBuilder
+        from mcpt_tpu.scene.ir import CameraInfo, IntegratorInfo, RendererConfig
+
+        tex = TextureBuilder()
+        rad = tex.add_constant([radiance] * 3)
+        bsdfs = [BsdfInfo(btype=BsdfType.AREA_LIGHT, id_radiance=rad)]
+        wall = InstanceInfo(shape="rectangle", id_bsdf=0)
+        wall.to_world = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+        wall.to_world[2, 3] = -3.0  # z=-3 plane, +z normal
+        slab = InstanceInfo(
+            shape="cube",
+            id_bsdf=-1,
+            to_world=np.diag([3.0, 3.0, 0.5, 1.0]).astype(np.float32),
+            id_medium_int=0,
+        )
+        slab.to_world[2, 3] = -0.5  # z in [-1, 0]
+        cam = CameraInfo(
+            width=8,
+            height=8,
+            spp=spp,
+            fov_x=20.0,
+            eye=np.array([0.0, 0.0, 3.0], np.float32),
+            look_at=np.array([0.0, 0.0, 0.0], np.float32),
+        )
+        return RendererConfig(
+            camera=cam,
+            integrator=IntegratorInfo(
+                itype="volpath", depth_max=6, sample_clamp=0.0
+            ),
+            textures=tex,
+            bsdfs=bsdfs,
+            instances=[wall, slab],
+            media=[
+                MediumInfo(
+                    sigma_a=np.full(3, sigma_a, np.float32),
+                    sigma_s=np.full(3, sigma_s, np.float32),
+                )
+            ],
+        )
+
+    def test_beer_lambert_through_null_slab(self):
+        """Emissive wall through a 1-unit absorbing slab: pixel value is
+        radiance * exp(-sigma_a)."""
+        cfg = self._slab_cfg(sigma_a=0.8)
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        expected = 2.0 * np.exp(-0.8)
+        np.testing.assert_allclose(img[4, 4], expected, rtol=2e-2)
+
+    def test_no_medium_matches_path(self):
+        """volpath with no medium bound == plain path integrator."""
+        cfg = self._slab_cfg(sigma_a=0.0)
+        cfg.instances[1].id_medium_int = -1
+        img_vol = np.asarray(Renderer(cfg).render(tile=64))
+        cfg2 = self._slab_cfg(sigma_a=0.0)
+        cfg2.instances[1].id_medium_int = -1
+        cfg2.integrator.itype = "path"
+        img_path = np.asarray(Renderer(cfg2).render(tile=64))
+        np.testing.assert_allclose(img_vol[4, 4], 2.0, rtol=1e-3)
+        np.testing.assert_allclose(img_path[4, 4], 2.0, rtol=1e-3)
+
+    def test_scattering_slab_conserves_forward_energy(self):
+        """Purely scattering slab (albedo 1): total energy is conserved,
+        so the wall seen through it stays within (0, radiance]."""
+        cfg = self._slab_cfg(sigma_a=0.0, sigma_s=1.0, spp=64)
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        v = img[4, 4, 0]
+        assert 0.3 < v <= 2.01, v

@@ -1,0 +1,111 @@
+"""Scene parser + loader tests against the reference's shipped assets
+(/root/reference/resources — test data only; skipped when absent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+SCENES = "/root/reference/resources/scene"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SCENES), reason="reference scenes not mounted"
+)
+
+
+def test_cornell_box_config():
+    from mcpt_tpu.scene.parser import load_config
+    from mcpt_tpu.scene.ir import BsdfType
+
+    cfg = load_config(f"{SCENES}/cornell-box/scene_v0.6.xml")
+    assert (cfg.camera.width, cfg.camera.height) == (1024, 1024)
+    assert cfg.camera.spp == 256
+    assert cfg.camera.fov_x == pytest.approx(19.5)
+    np.testing.assert_allclose(cfg.camera.eye, [0, 1, 6.8], atol=1e-6)
+    np.testing.assert_allclose(cfg.camera.look_at, [0, 1, 5.8], atol=1e-6)
+    assert cfg.integrator.itype == "path"
+    assert cfg.integrator.depth_max == 65
+    assert len(cfg.instances) == 8
+    # last shape carries the inline area emitter
+    light_bsdf = cfg.bsdfs[cfg.instances[-1].id_bsdf]
+    assert light_bsdf.btype == BsdfType.AREA_LIGHT
+
+
+def test_matpreview_configs():
+    from mcpt_tpu.scene.parser import load_config
+    from mcpt_tpu.scene.ir import BsdfType
+
+    for xml, btype in [
+        ("rough_conductor_isotropic.xml", BsdfType.CONDUCTOR),
+        ("dielectric.xml", BsdfType.DIELECTRIC),
+        ("thin_dielectric.xml", BsdfType.THIN_DIELECTRIC),
+        ("plastic.xml", BsdfType.PLASTIC),
+    ]:
+        path = f"{SCENES}/matpreview/{xml}"
+        if not os.path.exists(path):
+            continue
+        cfg = load_config(path)
+        types = {b.btype for b in cfg.bsdfs}
+        assert btype in types, f"{xml}: {types}"
+        assert len(cfg.instances) >= 2  # serialized mesh shapes
+
+
+def test_serialized_loader_shapes():
+    from mcpt_tpu.scene.loaders import load_mesh
+
+    m0 = load_mesh(f"{SCENES}/matpreview/matpreview.serialized", shape_index=0)
+    m1 = load_mesh(f"{SCENES}/matpreview/matpreview.serialized", shape_index=1)
+    assert m0.positions.shape[1] == 3
+    assert m1.indices.shape[1] == 3
+    assert m0.positions.shape[0] != m1.positions.shape[0]
+    assert np.isfinite(m0.positions).all()
+
+
+def test_obj_loader():
+    from mcpt_tpu.scene.loaders import load_mesh
+
+    path = f"{SCENES}/classroom/models/Mesh064.obj"
+    if not os.path.exists(path):
+        pytest.skip("classroom assets absent")
+    m = load_mesh(path)
+    assert m.positions.shape[0] > 100
+    assert m.indices.max() < m.positions.shape[0]
+    assert m.normals is not None and m.texcoords is not None
+
+
+def test_volumetric_caustic_config():
+    from mcpt_tpu.scene.parser import load_config
+
+    path = f"{SCENES}/volumetric-caustic/scene_v0.6.xml"
+    if not os.path.exists(path):
+        pytest.skip("scene absent")
+    cfg = load_config(path)
+    assert cfg.integrator.itype == "volpath"
+    assert len(cfg.media) >= 1
+    assert any(
+        i.id_medium_int >= 0 or i.id_medium_ext >= 0 for i in cfg.instances
+    )
+
+
+def test_hosek_sky_model_sanity():
+    from mcpt_tpu.scene import hosek
+
+    # the C reference comparison lives in the build log; here: shape,
+    # positivity, and sun-glow monotonicity
+    bitmap = hosek.sky_bitmap(
+        np.array([0.3, -0.8, 0.2]), turbidity=3.0, width=64, height=32
+    )
+    assert bitmap.shape == (32, 64, 3)
+    assert (bitmap >= 0).all() and np.isfinite(bitmap).all()
+    assert bitmap.max() > bitmap[..., :].mean() * 2  # bright circumsolar
+
+
+def test_sun_direction_ephemeris():
+    from mcpt_tpu.scene.sun_sky import sun_direction_from_time
+
+    # noon in Tokyo in July: sun high in the sky -> light travels downward
+    d = sun_direction_from_time(2010, 7, 10, 12, 0, 0, 35.69, 139.69, 9)
+    assert d[1] < -0.7
+    # midnight: sun below horizon -> light travels upward
+    d = sun_direction_from_time(2010, 7, 10, 0, 0, 0, 35.69, 139.69, 9)
+    assert d[1] > 0.0

@@ -75,15 +75,36 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     normal = normalize(uf * g.n0[p] + vf * g.n1[p] + wf * g.n2[p])
     tangent = normalize(uf * g.tg0[p] + vf * g.tg1[p] + wf * g.tg2[p])
     bitangent = normalize(uf * g.bt0[p] + vf * g.bt1[p] + wf * g.bt2[p])
+    uv = uf * g.uv0[p] + vf * g.uv1[p] + wf * g.uv2[p]
+    inst = g.inst_id[p]
+    bsdf_id = scene.map_inst_bsdf[jnp.maximum(inst, 0)]
+
+    # bump mapping perturbs the shading frame BEFORE the inside flip
+    # (csrt triangle.cpp:129-134 + bsdf.cpp:238-253)
+    if scene.has_bump:
+        from mcpt_tpu.ops.math import cross
+
+        bump_tid = scene.bsdf.bump_tid[jnp.maximum(bsdf_id, 0)]
+        has_bump = (bump_tid >= 0) & (bsdf_id >= 0)
+        grad = textures.eval_gradient(
+            scene.tex, jnp.maximum(bump_tid, 0), uv
+        )
+        n_b = normalize(
+            -grad[..., 0:1] * tangent - grad[..., 1:2] * bitangent + normal
+        )
+        b_b = normalize(cross(n_b, tangent))
+        t_b = normalize(cross(b_b, n_b))
+        m = has_bump[..., None]
+        normal = jnp.where(m, n_b, normal)
+        bitangent = jnp.where(m, b_b, bitangent)
+        tangent = jnp.where(m, t_b, tangent)
+
     # back-face hits flip the stored normal/bitangent exactly like the
     # reference (triangle.cpp:136-141) — `inside` semantics downstream
     # (dielectric eta swap, medium side selection) depend on this.
     flip = ghit.inside[..., None]
     normal = jnp.where(flip, -normal, normal)
     bitangent = jnp.where(flip, -bitangent, bitangent)
-    uv = uf * g.uv0[p] + vf * g.uv1[p] + wf * g.uv2[p]
-    inst = g.inst_id[p]
-    bsdf_id = scene.map_inst_bsdf[jnp.maximum(inst, 0)]
     # clamp t for the position so missed lanes (t = MAX_FLOAT) stay finite
     # — garbage on masked lanes leaks NaNs into reverse-mode AD otherwise.
     t_pos = jnp.minimum(ghit.t, 1e8)
@@ -99,6 +120,24 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
         bsdf_id=jnp.where(ghit.valid, bsdf_id, -1),
         inst_id=inst,
     )
+
+
+def apply_opacity(scene: SceneData, hit: HitAttrs, seed):
+    """Stochastic alpha: a hit on an opacity-masked surface becomes a
+    null pass-through vertex with probability (1 - alpha) — csrt tests
+    IsTransparent inside traversal (triangle.cpp:117, bsdf.cpp:272-276);
+    the wavefront form relocates the test to the shading vertex.
+    Consumes one uniform draw iff the scene has opacity maps (static)."""
+    if not scene.has_opacity:
+        return hit, seed
+    seed, u = rng.random_float(seed)
+    tid = scene.bsdf.opacity_tid[jnp.maximum(hit.bsdf_id, 0)]
+    has = (tid >= 0) & (hit.bsdf_id >= 0) & hit.valid
+    alpha = textures.eval_opacity(scene.tex, jnp.maximum(tid, 0), hit.uv)
+    transparent = has & (u >= alpha)
+    return hit._replace(
+        bsdf_id=jnp.where(transparent, -1, hit.bsdf_id)
+    ), seed
 
 
 def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
@@ -295,6 +334,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     # --- primary hit (path.cpp:16-55)
     ghit = intersect_closest(scene.geom, o, d)
     hit = interpolate_hit(scene, ghit, o, d)
+    hit, seed = apply_opacity(scene, hit, seed)
 
     L = jnp.zeros((n, 3), jnp.float32)
     # primary-ray escape: envmap/constant + sun bitmap (path.cpp:24-35)
@@ -385,6 +425,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             scene.geom, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, o2, d2)
+        hit2, seed = apply_opacity(scene, hit2, seed)
         # --- escape -> envmap/constant with MIS (path.cpp:81-93)
         if scene.env_kind != "none":
             esc = alive & ~hit2.valid

@@ -28,6 +28,7 @@ from mcpt_tpu.integrators.path import (
     _escape_radiance,
     _sample_area_light,
     _shadow_ok,
+    apply_opacity,
     interpolate_hit,
     nee_draw_count,
 )
@@ -209,6 +210,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
 
     ghit = intersect_closest(scene.geom, o, d)
     hit = interpolate_hit(scene, ghit, o, d)
+    hit, seed = apply_opacity(scene, hit, seed)
 
     L = jnp.zeros((n, 3), jnp.float32)
     if scene.env_kind != "none":
@@ -323,6 +325,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             scene.geom, origin, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, origin, d2)
+        hit2, seed = apply_opacity(scene, hit2, seed)
 
         # --- 5. free flight along the segment (volpath.cpp:117-137,162-183)
         seed, xi_m = rng.random_floats(seed, media.N_FLIGHT_DRAWS)

@@ -58,18 +58,23 @@ def _leaf_intersect(geom, o, d, t_min, best, base, leaf_size, any_hit):
 
 
 def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
+    """Per-lane-stack wavefront traversal.
+
+    The stack lives as [stack_size, N] and is read/written with one-hot
+    masks over the (small, static) stack axis instead of per-lane
+    gather/scatter — dense VPU selects instead of serialized scatters."""
     n = o.shape[0]
     n_pad_leaves = geom.n_pad_leaves
     leaf_size = geom.leaf_size
     first_leaf = n_pad_leaves - 1
     stack_size = geom.depth + 2
     d_rcp = safe_rcp(d)
-    lane = jnp.arange(n)
+    slot_iota = jnp.arange(stack_size)[:, None]  # [S, 1]
 
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-    stack0 = jnp.zeros((n, stack_size), jnp.int32)
+    stack0 = jnp.zeros((stack_size, n), jnp.int32)
     sp0 = jnp.ones((n,), jnp.int32)  # root pushed
     best0 = (
         t_max,
@@ -88,7 +93,9 @@ def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
         stack, sp, best = state
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
-        node = stack[lane, top]
+        node = jnp.sum(
+            jnp.where(slot_iota == top[None, :], stack, 0), axis=0
+        )
         sp = jnp.where(active, sp - 1, sp)
 
         is_leaf = node >= first_leaf
@@ -123,10 +130,14 @@ def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
         push2 = both
 
         slot = jnp.minimum(sp, stack_size - 1)
-        stack = stack.at[lane, slot].set(jnp.where(push1, first, stack[lane, slot]))
+        stack = jnp.where(
+            (slot_iota == slot[None, :]) & push1[None, :], first[None, :], stack
+        )
         sp = sp + push1.astype(jnp.int32)
         slot = jnp.minimum(sp, stack_size - 1)
-        stack = stack.at[lane, slot].set(jnp.where(push2, near, stack[lane, slot]))
+        stack = jnp.where(
+            (slot_iota == slot[None, :]) & push2[None, :], near[None, :], stack
+        )
         sp = sp + push2.astype(jnp.int32)
 
         return stack, sp, best
@@ -134,6 +145,86 @@ def _traverse(geom, o, d, t_min, t_max, any_hit: bool):
     _, _, best = lax.while_loop(cond, body, (stack0, sp0, best0))
     t_best, prim_best, v_best, w_best, in_best, valid = best
     return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best, w=w_best, inside=in_best)
+
+
+# Scenes at or below this many (padded) primitives skip the BVH and use
+# the dense chunked sweep — on a TPU the fully-vectorized VPU sweep beats
+# the gather-heavy serial tree walk far beyond typical "small" sizes.
+DENSE_MAX_PRIMS = 16384
+_DENSE_CHUNK = 512
+
+
+def _intersect_dense(geom, o, d, t_min, t_max, any_hit: bool):
+    """Chunked all-primitives sweep: lax.scan over triangle blocks, each
+    block tested densely [N, C] and min-reduced.  No gathers, no
+    per-lane control flow — pure VPU work."""
+    n = o.shape[0]
+    p = geom.p0.shape[0]
+    chunk = min(_DENSE_CHUNK, p)
+    n_chunks = -(-p // chunk)  # p is a power-of-two multiple of leaf_size
+    pad = n_chunks * chunk
+
+    def pad_tris(a):
+        if pad == p:
+            return a.reshape(n_chunks, chunk, 3)
+        ext = jnp.zeros((pad - p, 3), a.dtype)
+        return jnp.concatenate([a, ext]).reshape(n_chunks, chunk, 3)
+
+    p0c = pad_tris(geom.p0)
+    e1c = pad_tris(geom.e1)
+    e2c = pad_tris(geom.e2)
+    if any_hit:
+        op = geom.opaque
+        opc = (
+            jnp.concatenate([op, jnp.zeros(pad - p, jnp.bool_)])
+            if pad != p
+            else op
+        ).reshape(n_chunks, chunk)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    best0 = (
+        t_max.astype(jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.bool_),
+    )
+
+    def body(best, chunk_idx):
+        t_best, prim_best, v_best, w_best, in_best, valid = best
+        base = chunk_idx * chunk
+        hit, t, v, w, det_inv = intersect_triangle(
+            o[:, None, :],
+            d[:, None, :],
+            p0c[chunk_idx][None],
+            e1c[chunk_idx][None],
+            e2c[chunk_idx][None],
+            t_min[:, None],
+            t_best[:, None],
+        )
+        if any_hit:
+            hit = hit & opc[chunk_idx][None]
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        lane = jnp.arange(n)
+        tk = t[lane, k]
+        take = jnp.isfinite(tk) & (tk < t_best)
+        return (
+            jnp.where(take, tk, t_best),
+            jnp.where(take, base + k, prim_best),
+            jnp.where(take, v[lane, k], v_best),
+            jnp.where(take, w[lane, k], w_best),
+            jnp.where(take, det_inv[lane, k] < 0, in_best),
+            valid | take,
+        ), None
+
+    best, _ = lax.scan(body, best0, jnp.arange(n_chunks))
+    t_best, prim_best, v_best, w_best, in_best, valid = best
+    return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best,
+                   w=w_best, inside=in_best)
 
 
 def intersect_closest(geom, o, d, t_min=None, t_max=None):
@@ -148,6 +239,8 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
         t_min = EPSILON_DISTANCE
     if t_max is None:
         t_max = MAX_FLOAT
+    if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
+        return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
     return _traverse(geom, o, d, t_min, t_max, any_hit=False)
 
 
@@ -159,6 +252,8 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
         t_min = EPSILON_DISTANCE
     if t_max is None:
         t_max = MAX_FLOAT
+    if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
+        return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
     return _traverse(geom, o, d, t_min, t_max, any_hit=True).valid
 
 

@@ -71,10 +71,11 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
     return acc / spp
 
 
-@functools.partial(jax.jit, static_argnames=("integ", "spp", "frame_base"))
+@functools.partial(jax.jit, static_argnames=("integ", "spp"))
 def render_tile(scene: SceneData, camera: Camera, integ: IntegratorInfo,
-                pixel_idx, spp: int, frame_base: int = 0):
-    """Jitted single-device tile renderer."""
+                pixel_idx, spp: int, frame_base=0):
+    """Jitted single-device tile renderer (`frame_base` is traced so
+    progressive accumulation reuses one compilation)."""
     return render_pixels(scene, camera, integ, pixel_idx, spp, frame_base)
 
 

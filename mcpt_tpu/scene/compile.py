@@ -83,6 +83,9 @@ class SceneData:
     env_kind: str = flax.struct.field(pytree_node=False, default="none")
     env_row: int = flax.struct.field(pytree_node=False, default=-1)
     sun_row: int = flax.struct.field(pytree_node=False, default=-1)
+    # static feature flags: skip the texture work when no BSDF uses it
+    has_bump: bool = flax.struct.field(pytree_node=False, default=False)
+    has_opacity: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def compile_scene(config: RendererConfig) -> SceneData:
@@ -252,6 +255,8 @@ def compile_scene(config: RendererConfig) -> SceneData:
         env_kind=env_kind,
         env_row=env_row,
         sun_row=sun_row,
+        has_bump=any(b.id_bump_map >= 0 for b in config.bsdfs),
+        has_opacity=any(b.id_opacity >= 0 for b in config.bsdfs),
     )
 
 

@@ -646,6 +646,9 @@ def _read_shape(ctx, node):
         face_normals = _read_bool(
             ctx, node, ("face_normals", "faceNormals"), False
         )
+        if not os.path.exists(os.path.join(ctx.dir, fn)):
+            _warn(f"mesh file '{fn}' missing, shape '{id_}' skipped")
+            return
         if stype == "obj":
             flip_uv = _read_bool(
                 ctx, node, ("flip_tex_coords", "flipTexCoords"), True

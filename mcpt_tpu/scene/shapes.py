@@ -130,6 +130,62 @@ def sphere_mesh(subdiv: int = 4) -> MeshData:
     )
 
 
+def disk_mesh(segments: int = 64) -> MeshData:
+    """Unit-DIAMETER disk at z=0 (csrt intersects analytically,
+    disk.cpp:17-120: radius 0.5, polar uv), tessellated as a fan."""
+    ang = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+    rim = np.stack(
+        [0.5 * np.cos(ang), 0.5 * np.sin(ang), np.zeros(segments)], axis=-1
+    ).astype(np.float32)
+    pos = np.concatenate([np.zeros((1, 3), np.float32), rim])
+    nrm = np.tile(np.array([[0, 0, 1]], np.float32), (segments + 1, 1))
+    # polar uv: u = r, v = phi/2pi (disk.cpp:64-71)
+    uv = np.concatenate(
+        [np.zeros((1, 2), np.float32),
+         np.stack([np.ones(segments), ang / (2 * np.pi)], -1).astype(np.float32)]
+    )
+    idx = np.stack(
+        [np.zeros(segments, np.int32),
+         np.arange(1, segments + 1, dtype=np.int32),
+         np.roll(np.arange(1, segments + 1, dtype=np.int32), -1)],
+        axis=-1,
+    )
+    return MeshData(positions=pos, indices=idx, normals=nrm, texcoords=uv)
+
+
+def cylinder_mesh(p0, p1, radius, segments: int = 64) -> MeshData:
+    """Open finite cylinder from p0 to p1 (csrt cylinder.cpp:21-60),
+    tessellated; uv = (phi/2pi, axial)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    axis = p1 - p0
+    length = np.linalg.norm(axis)
+    axis = axis / max(length, 1e-12)
+    helper = np.array([0.0, 1.0, 0.0]) if abs(axis[0]) > 0.9 else np.array([1.0, 0.0, 0.0])
+    t = np.cross(helper, axis)
+    t /= np.linalg.norm(t)
+    b = np.cross(axis, t)
+
+    ang = np.linspace(0.0, 2 * np.pi, segments, endpoint=False)
+    ring_dir = np.outer(np.cos(ang), t) + np.outer(np.sin(ang), b)  # [S,3]
+    bottom = p0[None] + radius * ring_dir
+    top = p1[None] + radius * ring_dir
+    pos = np.concatenate([bottom, top]).astype(np.float32)
+    nrm = np.concatenate([ring_dir, ring_dir]).astype(np.float32)
+    u = (ang / (2 * np.pi)).astype(np.float32)
+    uv = np.concatenate(
+        [np.stack([u, np.zeros(segments, np.float32)], -1),
+         np.stack([u, np.ones(segments, np.float32)], -1)]
+    )
+    i = np.arange(segments, dtype=np.int32)
+    j = (i + 1) % segments
+    idx = np.concatenate(
+        [np.stack([i, j, i + segments], -1),
+         np.stack([j, j + segments, i + segments], -1)]
+    )
+    return MeshData(positions=pos, indices=idx, normals=nrm, texcoords=uv)
+
+
 def instance_triangles(info: InstanceInfo):
     """Lower one instance to world-space triangle soup.
 
@@ -148,6 +204,10 @@ def instance_triangles(info: InstanceInfo):
             info.center, np.float32
         )
         # note: normals stay the unit sphere dirs; scaling is uniform
+    elif info.shape == "disk":
+        mesh = disk_mesh()
+    elif info.shape == "cylinder":
+        mesh = cylinder_mesh(info.p0, info.p1, info.radius)
     elif info.shape == "mesh":
         mesh = info.mesh
         assert mesh is not None, "mesh instance without mesh data"

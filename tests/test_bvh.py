@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from mcpt_tpu.ops.traversal import (
+    _traverse,
     intersect_any,
     intersect_closest,
     intersect_closest_brute,
@@ -47,6 +48,37 @@ def test_closest_matches_brute(n_tris, leaf_size):
     same = np.asarray(got.prim)[m] == np.asarray(ref.prim)[m]
     if m.sum() > 0:
         assert same.mean() > 0.999
+
+
+@pytest.mark.parametrize("n_tris,leaf_size", [(7, 1), (333, 2), (1000, 8)])
+def test_bvh_traversal_matches_brute(n_tris, leaf_size):
+    """Force the stacked BVH walk (intersect_closest may route small
+    scenes to the dense sweep)."""
+    verts = random_soup(n_tris, seed=11)
+    geom = commit_geometry(
+        verts, None, None, None, np.zeros(n_tris), leaf_size=leaf_size
+    )
+    o, d = random_rays(512, seed=12)
+    got = jax.jit(
+        lambda g, o, d: _traverse(g, o, d, 1e-4, 3.4e38, any_hit=False)
+    )(geom, o, d)
+    ref = intersect_closest_brute(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_bvh_any_hit_matches_closest():
+    verts = random_soup(300, seed=15)
+    geom = commit_geometry(verts, None, None, None, np.zeros(300))
+    o, d = random_rays(512, seed=16)
+    occ = jax.jit(
+        lambda g, o, d: _traverse(g, o, d, 1e-4, 3.4e38, any_hit=True).valid
+    )(geom, o, d)
+    closest = intersect_closest_brute(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(closest.valid))
 
 
 def test_any_hit_consistent_with_closest():

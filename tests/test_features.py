@@ -1,0 +1,115 @@
+"""Feature tests: stochastic opacity masks, bump mapping, disk/cylinder
+tessellation (csrt feature set, README.md:11-61)."""
+
+import numpy as np
+import pytest
+
+from mcpt_tpu.models.texture import TextureBuilder
+from mcpt_tpu.render.renderer import Renderer
+from mcpt_tpu.scene.ir import (
+    BsdfInfo,
+    BsdfType,
+    CameraInfo,
+    InstanceInfo,
+    IntegratorInfo,
+    RendererConfig,
+)
+
+
+def wall_through_mask_scene(alpha, spp=256):
+    """Emissive wall at z=-2 behind a black alpha-masked screen at z=0."""
+    tex = TextureBuilder()
+    rad = tex.add_constant([2.0, 2.0, 2.0])
+    black = tex.add_constant([0.0, 0.0, 0.0])
+    opacity = tex.add_constant([alpha, alpha, alpha])
+    bsdfs = [
+        BsdfInfo(btype=BsdfType.AREA_LIGHT, id_radiance=rad),
+        BsdfInfo(
+            btype=BsdfType.DIFFUSE,
+            id_diffuse_reflectance=black,
+            id_opacity=opacity,
+        ),
+    ]
+    wall = InstanceInfo(shape="rectangle", id_bsdf=0)
+    wall.to_world = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+    wall.to_world[2, 3] = -2.0
+    screen = InstanceInfo(shape="rectangle", id_bsdf=1)
+    screen.to_world = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+    cam = CameraInfo(
+        width=8, height=8, spp=spp, fov_x=20.0,
+        eye=np.array([0, 0, 3], np.float32),
+        look_at=np.zeros(3, np.float32),
+    )
+    return RendererConfig(
+        camera=cam,
+        integrator=IntegratorInfo(depth_max=4, sample_clamp=0.0),
+        textures=tex,
+        bsdfs=bsdfs,
+        instances=[wall, screen],
+    )
+
+
+class TestOpacity:
+    def test_expected_transmission(self):
+        """E[L] = (1 - alpha) * wall radiance through a black mask."""
+        for alpha in (0.25, 0.75):
+            cfg = wall_through_mask_scene(alpha)
+            img = np.asarray(Renderer(cfg).render(tile=64))
+            expected = (1.0 - alpha) * 2.0
+            np.testing.assert_allclose(img[4, 4], expected, rtol=0.1)
+
+    def test_fully_opaque_blocks(self):
+        cfg = wall_through_mask_scene(1.0, spp=8)
+        img = np.asarray(Renderer(cfg).render(tile=64))
+        assert img[4, 4].max() < 1e-5
+
+
+class TestBump:
+    def test_bump_perturbs_shading(self):
+        """A ramp bump map on a lit floor changes the image vs no bump."""
+        from tests.test_emitter import floor_scene
+        from mcpt_tpu.scene.ir import EmitterInfo, EmitterType
+
+        def build(with_bump):
+            cfg = floor_scene(
+                EmitterInfo(
+                    etype=EmitterType.DIRECTIONAL,
+                    direction=np.array([0.5, -0.86, 0.0], np.float32),
+                    radiance=np.array([2.0] * 3, np.float32),
+                ),
+                spp=4,
+                res=8,
+            )
+            if with_bump:
+                ramp = np.linspace(0, 4.0, 64, dtype=np.float32)
+                bump = np.tile(ramp[None, :, None], (64, 1, 1))
+                tid = cfg.textures.add_bitmap(bump)
+                cfg.bsdfs[0].id_bump_map = tid
+            return np.asarray(Renderer(cfg).render(tile=64))
+
+        img0 = build(False)
+        img1 = build(True)
+        assert np.isfinite(img1).all()
+        assert np.abs(img1 - img0).max() > 1e-3
+
+
+class TestAnalyticShapes:
+    def test_disk_tessellation(self):
+        from mcpt_tpu.scene.shapes import disk_mesh, triangle_areas
+
+        m = disk_mesh(segments=256)
+        tris = m.positions[m.indices]
+        area = triangle_areas(tris).sum()
+        # unit-DIAMETER disk: area = pi * 0.25
+        assert area == pytest.approx(np.pi * 0.25, rel=1e-3)
+
+    def test_cylinder_tessellation(self):
+        from mcpt_tpu.scene.shapes import cylinder_mesh, triangle_areas
+
+        p0, p1, r = [0, 0, 0], [0, 0, 2], 0.5
+        m = cylinder_mesh(p0, p1, r, segments=256)
+        tris = m.positions[m.indices]
+        area = triangle_areas(tris).sum()
+        assert area == pytest.approx(2 * np.pi * r * 2.0, rel=1e-3)
+        # all normals perpendicular to the axis
+        assert np.abs(m.normals[:, 2]).max() < 1e-6

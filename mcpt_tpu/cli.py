@@ -34,6 +34,11 @@ def main(argv=None):
         help="write a snapshot every N spp (0 = off)",
     )
     ap.add_argument("--depth-max", type=int, default=None)
+    ap.add_argument(
+        "--checkpoint", default=None, metavar="FILE.npz",
+        help="accumulate film+spp into FILE; rerunning resumes from it "
+             "(film/sample-count/RNG offset are the whole render state)",
+    )
     args = ap.parse_args(argv)
 
     from mcpt_tpu.render.renderer import Renderer
@@ -68,19 +73,30 @@ def main(argv=None):
             write_png(path, img)
 
     t0 = time.time()
-    if args.progressive > 0:
+    if args.progressive > 0 or args.checkpoint:
         import numpy as np
 
         total = config.camera.spp
         acc = None
         done = 0
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            ckpt = np.load(args.checkpoint)
+            acc = ckpt["film"]
+            done = int(ckpt["spp_done"])
+            print(f"[info] resumed checkpoint at {done} spp")
+        step_size = args.progressive or max(total // 8, 1)
         stem, ext = os.path.splitext(output)
         while done < total:
-            step = min(args.progressive, total - done)
+            step = min(step_size, total - done)
             img = renderer.render(spp=step, tile=args.tile, frame_base=done)
             acc = img if acc is None else (acc * done + img * step) / (done + step)
             done += step
-            save(np.asarray(acc), f"{stem}_{done:05d}spp{ext}")
+            if args.checkpoint:
+                np.savez_compressed(
+                    args.checkpoint, film=np.asarray(acc), spp_done=done
+                )
+            if args.progressive:
+                save(np.asarray(acc), f"{stem}_{done:05d}spp{ext}")
             print(f"[info] {done}/{total} spp  ({time.time() - t0:.1f}s)")
         img = acc
     else:

@@ -31,13 +31,24 @@ from mcpt_tpu.scene.ir import IntegratorInfo, RendererConfig
 
 
 def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
-                  spp: int, frame_base: int = 0,
-                  differentiable: bool = False):
+                  spp: int, frame_base=0,
+                  differentiable: bool = False,
+                  spp_total: int | None = None, sample_offset=0):
     """Traceable body: average `spp` samples for a batch of linear pixel
     indices.  Use :func:`render_tile` for the jitted entry point; this is
-    also what `parallel.shard` wraps in `shard_map`."""
+    also what `parallel.shard` wraps in `shard_map`.
+
+    `sample_offset`/`spp_total` let callers split one logical
+    `spp_total`-sample render into chunks without repeating sub-pixel
+    strata: u = (offset+s)/spp_total, v = VdC2(frame_base+offset+s+1)
+    (the reference's stratified jitter, renderer.cpp:68-75)."""
     n = pixel_idx.shape[0]
-    seed0 = rng.pixel_seed(pixel_idx, frame_base)
+    if spp_total is None:
+        spp_total = spp
+    base = jnp.asarray(frame_base, jnp.uint32) + jnp.asarray(
+        sample_offset, jnp.uint32
+    )
+    seed0 = rng.pixel_seed(pixel_idx, base)
     acc0 = jnp.zeros((n, 3), jnp.float32)
     shade = (
         volpath_integrator.shade
@@ -47,8 +58,9 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
 
     def body(s, carry):
         acc, seed = carry
-        u = s.astype(jnp.float32) / spp
-        v = rng.van_der_corput_base2(jnp.asarray(s + 1, jnp.uint32))
+        s_g = jnp.asarray(sample_offset, jnp.float32) + s.astype(jnp.float32)
+        u = s_g / spp_total
+        v = rng.van_der_corput_base2(base + jnp.asarray(s + 1, jnp.uint32))
         o, d = generate_rays(camera, pixel_idx, u, v)
         radiance, seed = shade(
             scene, integ, o, d, seed, differentiable=differentiable
@@ -71,12 +83,16 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
     return acc / spp
 
 
-@functools.partial(jax.jit, static_argnames=("integ", "spp"))
+@functools.partial(jax.jit, static_argnames=("integ", "spp", "spp_total"))
 def render_tile(scene: SceneData, camera: Camera, integ: IntegratorInfo,
-                pixel_idx, spp: int, frame_base=0):
-    """Jitted single-device tile renderer (`frame_base` is traced so
-    progressive accumulation reuses one compilation)."""
-    return render_pixels(scene, camera, integ, pixel_idx, spp, frame_base)
+                pixel_idx, spp: int, frame_base=0, spp_total=None,
+                sample_offset=0):
+    """Jitted single-device tile renderer (`frame_base`/`sample_offset`
+    are traced so chunked accumulation reuses one compilation)."""
+    return render_pixels(
+        scene, camera, integ, pixel_idx, spp, frame_base,
+        spp_total=spp_total, sample_offset=sample_offset,
+    )
 
 
 class Renderer:
@@ -89,15 +105,29 @@ class Renderer:
         self.integrator = config.integrator
 
     def render(self, spp: int | None = None, tile: int = 1 << 16,
-               frame_base: int = 0, progress: bool = False) -> np.ndarray:
-        """Render the full frame; returns linear-light [H, W, 3] float32."""
+               frame_base: int = 0, progress: bool = False,
+               spp_chunk: int = 8) -> np.ndarray:
+        """Render the full frame; returns linear-light [H, W, 3] float32.
+
+        Work is dispatched in (tile, spp_chunk) pieces so no single XLA
+        execution runs long — keeps device watchdogs happy and gives
+        progress/preemption points (the reference's Morton-patch queue
+        serves the same purpose on CPU, renderer.cpp:142-253)."""
         cam = self.camera
         n_pix = cam.width * cam.height
         spp = spp or cam.spp
         integ = _freeze(self.integrator)
+        spp_chunk = min(spp_chunk, spp)
+        # sample counts per chunk (last may be short; reuses the compile
+        # only when equal, so prefer divisors)
+        chunks = [spp_chunk] * (spp // spp_chunk)
+        if spp % spp_chunk:
+            chunks.append(spp % spp_chunk)
 
         frame = np.zeros((n_pix, 3), np.float32)
         t0 = time.time()
+        done_work = 0
+        total_work = n_pix * spp
         for start in range(0, n_pix, tile):
             end = min(start + tile, n_pix)
             idx = jnp.arange(start, end, dtype=jnp.int32)
@@ -105,13 +135,27 @@ class Renderer:
                 idx = jnp.concatenate(
                     [idx, jnp.zeros(tile - (end - start), jnp.int32)]
                 )
-            out = render_tile(self.scene, cam, integ, idx, spp, frame_base)
-            frame[start:end] = np.asarray(out)[: end - start]
-            if progress:
-                pct = 100.0 * end / n_pix
-                eta = (time.time() - t0) / end * (n_pix - end)
-                print(f"\r[info] render {pct:5.1f}%  eta {eta:6.1f}s",
-                      end="", flush=True)
+            acc = np.zeros((end - start, 3), np.float32)
+            s_done = 0
+            for s in chunks:
+                out = render_tile(
+                    self.scene, cam, integ, idx, s, frame_base,
+                    spp_total=spp, sample_offset=s_done,
+                )
+                acc += np.asarray(out)[: end - start] * s
+                s_done += s
+                done_work += (end - start) * s
+                if progress:
+                    pct = 100.0 * done_work / total_work
+                    eta = (time.time() - t0) / done_work * (
+                        total_work - done_work
+                    )
+                    print(
+                        f"\r[info] render {pct:5.1f}%  eta {eta:6.1f}s",
+                        end="",
+                        flush=True,
+                    )
+            frame[start:end] = acc / spp
         if progress:
             print(f"\r[info] render done in {time.time() - t0:.2f}s      ")
         return frame.reshape(cam.height, cam.width, 3)

@@ -138,21 +138,28 @@ def read_sun_sky(ctx, node, etype: str):
     width, height = resolution, resolution // 2
 
     if etype in ("sun", "sunsky"):
+        from mcpt_tpu.scene import spectrum
+
         scale = _read_float(ctx, node, ("sunScale", "sun_scale"), 1.0)
         radius_scale = _read_float(
             ctx, node, ("sunRadiusScale", "sun_radius_scale"), 1.0
         )
         app_radius = np.radians(SUN_APP_RADIUS * 0.5) * radius_scale
-        radiance = sun_radiance_rgb(direction, turbidity) * scale
+        zenith = float(np.arccos(np.clip(-direction[1], -1.0, 1.0)))
+        disk_radiance = spectrum.sun_radiance_rgb(zenith, turbidity) * scale
+        # NEE cone samples carry radiance x solid angle (the reference's
+        # harsh-light convention: CreateSunTexture sun_sky.cpp:255-265
+        # returns sun_radiance * solid_angle for EmitterInfo.sun.radiance)
+        solid_angle = 2.0 * np.pi * (1.0 - np.cos(app_radius))
         bitmap = splat_sun_bitmap(
-            direction, app_radius, radiance, width, height
+            direction, app_radius, disk_radiance, width, height
         )
         tid = ctx.tex.add_bitmap(bitmap)
         ctx.config.emitters.append(
             EmitterInfo(
                 etype=EmitterType.SUN,
                 direction=direction,
-                radiance=radiance,
+                radiance=disk_radiance * solid_angle,
                 cutoff_angle=np.degrees(app_radius),
                 id_texture=tid,
             )
@@ -185,32 +192,6 @@ def read_sun_sky(ctx, node, etype: str):
                 to_world=np.eye(4, dtype=np.float32),
             )
         )
-
-
-def sun_radiance_rgb(direction, turbidity):
-    """Average solar-disk radiance in RGB after atmospheric attenuation.
-
-    Approximates the reference's Preetham spectral pipeline
-    (sun_sky.cpp:67-152: blackbody-ish solar spectrum x Rayleigh, aerosol,
-    ozone, mixed-gas, water-vapor transmittances, integrated to XYZ->RGB)
-    with the same zenith/turbidity dependence fitted in RGB.
-    """
-    cos_zenith = np.clip(-direction[1], 0.0, 1.0)
-    zenith = np.arccos(cos_zenith)
-    # relative optical mass (Preetham eq. A.1)
-    m = 1.0 / (
-        cos_zenith + 0.15 * np.power(93.885 - np.degrees(zenith), -1.253)
-    )
-    beta = 0.04608365822050 * turbidity - 0.04586025928522
-    # per-channel effective wavelengths (nm) and attenuation terms
-    lam = np.array([610.0, 550.0, 465.0]) * 1e-3  # um
-    tau_r = np.exp(-m * 0.008735 * np.power(lam, -4.08))
-    tau_a = np.exp(-m * beta * np.power(lam, -1.3))
-    k_o = np.array([0.0100, 0.0800, 0.0060])  # ozone absorption coeff
-    tau_o = np.exp(-m * k_o * 0.35)
-    # mean solar disk radiance before attenuation (W/m^2/sr/um -> scaled)
-    sun_mean = np.array([1.6e4, 1.7e4, 1.8e4], np.float64)
-    return (sun_mean * tau_r * tau_a * tau_o).astype(np.float32)
 
 
 def splat_sun_bitmap(direction, app_radius, radiance, width=512, height=256):

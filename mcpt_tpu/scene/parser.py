@@ -133,8 +133,10 @@ def _parse_vec3(text, default):
 
 
 def _read_vec3_node(node, default):
-    if node.get("value") is None and node.get("x") is not None:
-        d = np.asarray(default, np.float32).reshape(3)
+    # no value attribute -> x/y/z attributes (any subset), matching csrt
+    # ReadVec3 (parser.cpp:1490-1497): absent components use the default
+    if node.get("value") is None:
+        d = np.broadcast_to(np.asarray(default, np.float32), (3,))
         return np.array(
             [
                 float(node.get("x", d[0])),

@@ -1,0 +1,124 @@
+"""Golden-image comparison harness.
+
+Renders the reference's benchmark scenes at reduced resolution/spp and
+reports relative MSE against BOTH the reference renderer's own committed
+results (resources/results/*.png) and the Tungsten ground-truth renders
+(TungstenRender.png) where available.
+
+    python scripts/golden_report.py [--res 128] [--spp 16] [--scene NAME]
+
+MC noise note: at low spp the relMSE floor is noise-dominated; the
+numbers are for trend tracking, not strict acceptance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENES = "/root/reference/resources/scene"
+RESULTS = "/root/reference/resources/results"
+
+# (name, scene xml, reference-own result png, tungsten png)
+CASES = [
+    ("cornell-box", "cornell-box/scene_v0.6.xml",
+     "cornell-box.png", "cornell-box/TungstenRender.png"),
+    ("rough-conductor", "matpreview/rough_conductor_isotropic.xml",
+     "rough-conductor-isotropic.png", None),
+    ("conductor", "matpreview/conductor.xml", "conductor.png", None),
+    ("dielectric", "matpreview/dielectric.xml", "dielectric.png", None),
+    ("rough-dielectric", "matpreview/rough_dielectric.xml",
+     "rough-dielectric.png", None),
+    ("thin-dielectric", "matpreview/thin_dielectric.xml",
+     "thin-dielectric.png", None),
+    ("rough-plastic", "matpreview/rough_plastic.xml", "rough-plastic.png", None),
+    ("dragon", "dragon/scene.xml", "dragon.png", "dragon/TungstenRender.png"),
+    ("mercury-rough-diffuse", "mercury/rough_diffuse.xml",
+     "mercury_rough-diffuse.png", None),
+    ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml",
+     "volumetric-caustic_isotropic.png",
+     "volumetric-caustic/TungstenRender.png"),
+]
+
+
+def downsample(img, h, w):
+    import numpy as np
+
+    gh, gw = img.shape[:2]
+    fy, fx = gh // h, gw // w
+    return img[: h * fy, : w * fx].reshape(h, fy, w, fx, 3).mean((1, 3))
+
+
+def rel_mse(a, b):
+    import numpy as np
+
+    return float(np.mean((a - b) ** 2 / (b**2 + 1e-3)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=128, help="height in pixels")
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--scene", default=None, help="only run this case")
+    ap.add_argument("--out", default="/tmp/golden", help="output dir for renders")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from mcpt_tpu.render.renderer import Renderer
+    from mcpt_tpu.scene.parser import load_config
+    from mcpt_tpu.utils.image import read_png_linear, write_png
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    for name, xml, own_png, tungsten_png in CASES:
+        if args.scene and args.scene != name:
+            continue
+        path = os.path.join(SCENES, xml)
+        if not os.path.exists(path):
+            rows.append((name, "missing-scene", None, None, 0.0))
+            continue
+        try:
+            cfg = load_config(path)
+            aspect = cfg.camera.width / cfg.camera.height
+            h = args.res
+            w = int(round(h * aspect))
+            cfg.camera.height, cfg.camera.width = h, w
+            cfg.integrator.depth_max = min(cfg.integrator.depth_max, 8)
+            t0 = time.time()
+            r = Renderer(cfg)
+            img = np.asarray(r.render(spp=args.spp, tile=min(w * h, 1 << 15)))
+            dt = time.time() - t0
+            write_png(os.path.join(args.out, f"{name}.png"), img)
+
+            own = t_err = None
+            own_path = os.path.join(RESULTS, own_png) if own_png else None
+            if own_path and os.path.exists(own_path):
+                g = downsample(read_png_linear(own_path), h, w)
+                own = rel_mse(img, g)
+            if tungsten_png:
+                tp = os.path.join(SCENES, tungsten_png)
+                if os.path.exists(tp):
+                    g = downsample(read_png_linear(tp), h, w)
+                    t_err = rel_mse(img, g)
+            rows.append((name, "ok", own, t_err, dt))
+            print(f"[golden] {name}: own={own} tungsten={t_err} ({dt:.1f}s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            rows.append((name, f"error: {e}", None, None, 0.0))
+            print(f"[golden] {name}: ERROR {e}", flush=True)
+
+    print("\n| scene | status | relMSE vs reference | relMSE vs Tungsten | s |")
+    print("|---|---|---|---|---|")
+    for name, status, own, t_err, dt in rows:
+        o = f"{own:.3f}" if own is not None else "-"
+        t = f"{t_err:.3f}" if t_err is not None else "-"
+        print(f"| {name} | {status} | {o} | {t} | {dt:.0f} |")
+
+
+if __name__ == "__main__":
+    main()

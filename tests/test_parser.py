@@ -109,3 +109,35 @@ def test_sun_direction_ephemeris():
     # midnight: sun below horizon -> light travels upward
     d = sun_direction_from_time(2010, 7, 10, 0, 0, 0, 35.69, 139.69, 9)
     assert d[1] > 0.0
+
+
+def test_transform_rotate_partial_axis_attrs():
+    """<rotate y=1 angle=90> must rotate about +y even though x/z attrs
+    are absent (the bug class: missing-attr defaults, parser.cpp:1490)."""
+    import xml.etree.ElementTree as ET
+
+    from mcpt_tpu.scene.parser import _Ctx, _read_transform
+
+    node = ET.fromstring(
+        '<transform><rotate y="1" angle="90"/></transform>'
+    )
+    m = _read_transform(_Ctx("/tmp"), node)
+    # +z rotates to +x under a right-handed +90deg rotation about y
+    np.testing.assert_allclose(m[:3, :3] @ [0, 0, 1], [1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(m[:3, :3] @ [0, 1, 0], [0, 1, 0], atol=1e-6)
+
+
+def test_transform_composition_order():
+    """Children left-multiply in document order (parser.cpp:1565-1617)."""
+    import xml.etree.ElementTree as ET
+
+    from mcpt_tpu.scene.parser import _Ctx, _read_transform
+
+    node = ET.fromstring(
+        '<transform><scale value="2"/><translate x="1"/></transform>'
+    )
+    m = _read_transform(_Ctx("/tmp"), node)
+    # point (1,0,0): scale -> (2,0,0), then translate -> (3,0,0)
+    np.testing.assert_allclose(
+        (m @ [1, 0, 0, 1])[:3], [3, 0, 0], atol=1e-6
+    )

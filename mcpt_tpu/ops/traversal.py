@@ -227,6 +227,165 @@ def _intersect_dense(geom, o, d, t_min, t_max, any_hit: bool):
                    w=w_best, inside=in_best)
 
 
+PACKET_BLOCK = 1024  # rays per packet (8 x 128 VPU tiles)
+
+
+def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
+    """Packet BVH traversal: one SCALAR stack per ray block, vector
+    AABB/triangle tests over the block, node/leaf fetches by scalar
+    `dynamic_slice` — zero gathers, so every memory access is a dense
+    tile load (the TPU-native replacement for per-lane stacks; ray
+    blocks are Morton-coherent so the union of visited nodes stays
+    small).  `lax.map` runs the blocks sequentially; each block only
+    does its own work."""
+    n = o.shape[0]
+    block = min(PACKET_BLOCK, max(n, 1))
+    g_blocks = -(-n // block)
+    pad = g_blocks * block
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def pad_to(a, fill=0.0):
+        if pad == n:
+            return a
+        ext_shape = (pad - n,) + a.shape[1:]
+        return jnp.concatenate([a, jnp.full(ext_shape, fill, a.dtype)])
+
+    ob = pad_to(o).reshape(g_blocks, block, 3)
+    db = pad_to(d).reshape(g_blocks, block, 3)
+    tminb = pad_to(t_min).reshape(g_blocks, block)
+    tmaxb = pad_to(t_max, fill=0.0).reshape(g_blocks, block)  # pad rays dead
+
+    first_leaf = geom.n_pad_leaves - 1
+    leaf_size = geom.leaf_size
+    stack_size = geom.depth + 2
+    # packed leaf triangles [n_pad_leaves, leaf_size, 12]
+    tris = geom.packed_tris
+    nodes_min = geom.node_min
+    nodes_max = geom.node_max
+
+    def run_block(args):
+        o, d, t_min, t_max = args
+        d_rcp = safe_rcp(d)
+
+        stack0 = jnp.zeros((stack_size,), jnp.int32)
+        best0 = (
+            t_max,
+            jnp.zeros((block,), jnp.int32),
+            jnp.zeros((block,), jnp.float32),
+            jnp.zeros((block,), jnp.float32),
+            jnp.zeros((block,), jnp.bool_),
+            jnp.zeros((block,), jnp.bool_),
+        )
+
+        def cond(state):
+            _, sp, _ = state
+            return sp > 0
+
+        def body(state):
+            stack, sp, best = state
+            node = lax.dynamic_index_in_dim(stack, sp - 1, keepdims=False)
+            sp = sp - 1
+
+            is_leaf = node >= first_leaf
+
+            def do_leaf(best):
+                t_best, prim_best, v_best, w_best, in_best, valid = best
+                base = (node - first_leaf) * leaf_size
+                leaf = lax.dynamic_slice_in_dim(
+                    tris, node - first_leaf, 1, axis=0
+                )[0]  # [leaf_size, 12]
+                # dense [block, leaf_size] test
+                p0 = leaf[None, :, 0:3]
+                e1 = leaf[None, :, 3:6]
+                e2 = leaf[None, :, 6:9]
+                opq = leaf[None, :, 9] > 0.5
+                hit, t, v, w, det_inv = intersect_triangle(
+                    o[:, None, :], d[:, None, :], p0, e1, e2,
+                    t_min[:, None], t_best[:, None],
+                )
+                if any_hit:
+                    hit = hit & opq
+                t = jnp.where(hit, t, jnp.inf)
+                k = jnp.argmin(t, axis=1)
+                lane = jnp.arange(block)
+                tk = t[lane, k]
+                take = jnp.isfinite(tk) & (tk < t_best)
+                return (
+                    jnp.where(take, tk, t_best),
+                    jnp.where(take, base + k, prim_best),
+                    jnp.where(take, v[lane, k], v_best),
+                    jnp.where(take, w[lane, k], w_best),
+                    jnp.where(take, det_inv[lane, k] < 0, in_best),
+                    valid | take,
+                )
+
+            best_leaf = do_leaf(best)
+            best = tuple(
+                jnp.where(is_leaf, bl, b) for bl, b in zip(best_leaf, best)
+            )
+
+            # internal node: vector AABB tests for both children,
+            # scalar push decisions from any-lane reductions
+            c0 = 2 * node + 1
+            c1 = 2 * node + 2
+            live = t_min < best[0]
+            if any_hit:
+                live = live & ~best[5]
+            bmin0 = lax.dynamic_slice_in_dim(nodes_min, c0, 2, axis=0)
+            bmax0 = lax.dynamic_slice_in_dim(nodes_max, c0, 2, axis=0)
+            h0, t0 = intersect_aabb(
+                o, d_rcp, bmin0[0][None, :], bmax0[0][None, :], t_min, best[0]
+            )
+            h1, t1 = intersect_aabb(
+                o, d_rcp, bmin0[1][None, :], bmax0[1][None, :], t_min, best[0]
+            )
+            h0 = h0 & live
+            h1 = h1 & live
+            any0 = jnp.any(h0)
+            any1 = jnp.any(h1)
+            # near-child ordering by mean entry distance over hitting lanes
+            m0 = jnp.sum(jnp.where(h0, t0, 0.0)) / jnp.maximum(
+                jnp.sum(h0.astype(jnp.float32)), 1.0
+            )
+            m1 = jnp.sum(jnp.where(h1, t1, 0.0)) / jnp.maximum(
+                jnp.sum(h1.astype(jnp.float32)), 1.0
+            )
+            near_is_0 = m0 <= m1
+            near = jnp.where(near_is_0, c0, c1)
+            far = jnp.where(near_is_0, c1, c0)
+            any_near = jnp.where(near_is_0, any0, any1)
+            any_far = jnp.where(near_is_0, any1, any0)
+
+            do_int = ~is_leaf
+            push_first = do_int & (any0 | any1)
+            first = jnp.where(any_near & any_far, far,
+                              jnp.where(any_near, near, far))
+            stack = lax.dynamic_update_index_in_dim(
+                stack, jnp.where(push_first, first, stack[jnp.minimum(sp, stack_size - 1)]),
+                jnp.minimum(sp, stack_size - 1), axis=0,
+            )
+            sp = sp + jnp.where(push_first, 1, 0)
+            push_second = do_int & any_near & any_far
+            stack = lax.dynamic_update_index_in_dim(
+                stack, jnp.where(push_second, near, stack[jnp.minimum(sp, stack_size - 1)]),
+                jnp.minimum(sp, stack_size - 1), axis=0,
+            )
+            sp = sp + jnp.where(push_second, 1, 0)
+            return stack, sp, best
+
+        _, _, best = lax.while_loop(cond, body, (stack0, jnp.int32(1), best0))
+        return best
+
+    best = lax.map(run_block, (ob, db, tminb, tmaxb))
+    t_best, prim_best, v_best, w_best, in_best, valid = (
+        x.reshape(pad)[:n] for x in best
+    )
+    return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best,
+                   w=w_best, inside=in_best)
+
+
 def intersect_closest(geom, o, d, t_min=None, t_max=None):
     """Closest-hit traversal over the whole wavefront.
 
@@ -241,7 +400,7 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
         t_max = MAX_FLOAT
     if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
-    return _traverse(geom, o, d, t_min, t_max, any_hit=False)
+    return _intersect_packet(geom, o, d, t_min, t_max, any_hit=False)
 
 
 def intersect_any(geom, o, d, t_min=None, t_max=None):
@@ -254,7 +413,7 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
         t_max = MAX_FLOAT
     if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
-    return _traverse(geom, o, d, t_min, t_max, any_hit=True).valid
+    return _intersect_packet(geom, o, d, t_min, t_max, any_hit=True).valid
 
 
 def intersect_closest_brute(geom, o, d, t_min=None, t_max=None, chunk=512):

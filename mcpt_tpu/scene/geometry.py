@@ -44,6 +44,10 @@ class Geometry:
     # implicit BVH
     node_min: jnp.ndarray  # [M, 3]
     node_max: jnp.ndarray  # [M, 3]
+    # leaf-blocked triangle pack for packet traversal: one dense tile per
+    # leaf fetched by scalar index — [n_pad_leaves, leaf_size, 12] with
+    # rows (p0.xyz, e1.xyz, e2.xyz, opaque, 0, 0)
+    packed_tris: jnp.ndarray
     # static topology facts
     n_pad_leaves: int = flax.struct.field(pytree_node=False)
     leaf_size: int = flax.struct.field(pytree_node=False)
@@ -130,6 +134,13 @@ def commit_geometry(
     inst_s = pick(inst.astype(np.int32))
     opaque_s = pick(opaque)
 
+    packed = np.zeros((pos_s.shape[0], 12), np.float32)
+    packed[:, 0:3] = pos_s[:, 0]
+    packed[:, 3:6] = pos_s[:, 1] - pos_s[:, 0]
+    packed[:, 6:9] = pos_s[:, 2] - pos_s[:, 0]
+    packed[:, 9] = opaque_s.astype(np.float32)
+    packed = packed.reshape(bvh.n_pad_leaves, leaf_size, 12)
+
     return Geometry(
         p0=jnp.asarray(pos_s[:, 0]),
         e1=jnp.asarray(pos_s[:, 1] - pos_s[:, 0]),
@@ -150,6 +161,7 @@ def commit_geometry(
         opaque=jnp.asarray(opaque_s),
         node_min=jnp.asarray(bvh.node_min),
         node_max=jnp.asarray(bvh.node_max),
+        packed_tris=jnp.asarray(packed),
         n_pad_leaves=bvh.n_pad_leaves,
         leaf_size=bvh.leaf_size,
         depth=bvh.depth,

@@ -1,0 +1,389 @@
+"""Wavefront bidirectional path tracing
+(archive/src/integrators/bdpt.cpp — the reference keeps BDPT in its v1
+archive only; this is the TPU re-design of that estimator).
+
+Structure mirrors the archive:
+  1. `_light_subpath` builds a K-vertex light subpath per lane
+     (CreateEmitterPath, bdpt.cpp:70-157): light point sampled from the
+     area-light CDF, cosine-emitted, scattered by pseudo-sample +
+     transport evaluate; each surface vertex caches the radiance
+     scattered toward its outgoing direction (direct lighting + MIS-
+     weighted transport from the previous vertex).
+  2. `shade` walks the camera path (ShadeIterately, bdpt.cpp:159-313):
+     per bounce it gathers NEE direct lighting, connects to every light
+     subpath vertex (visibility ray + eval on both ends + area-measure
+     pdf conversion + power-heuristic weight combination,
+     bdpt.cpp:168-245), then continues by BSDF sampling with the
+     archive's surface-reuse attenuation trick (bdpt.cpp:269-283).
+
+Deviations (documented):
+  * the archive's RR guard `if (i > pdf_rr_)` compares the loop index to
+    the RR *probability* (0.95) so it always divides (bdpt.cpp:149-152);
+    we use `depth_rr` as intended;
+  * like the rest of this framework, MIS pdfs are the true sampling
+    pdfs, and all draws are scene-static per stage for aligned lanes.
+The estimator inherits the archive's heuristic multi-strategy weighting
+(pairwise power heuristics, not Veach-complete); it is validated against
+the unidirectional integrator on diffuse scenes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from mcpt_tpu.integrators.path import (
+    HitAttrs,
+    _bsdf_eval,
+    _direct_lighting,
+    _escape_pdf,
+    _escape_radiance,
+    _sample_area_light,
+    apply_opacity,
+    interpolate_hit,
+    nee_draw_count,
+)
+from mcpt_tpu.models import bsdf as bsdfs
+from mcpt_tpu.models import emitter as emitters
+from mcpt_tpu.ops import rng
+from mcpt_tpu.ops.math import (
+    EPSILON,
+    EPSILON_DISTANCE,
+    EPSILON_FLOAT,
+    MAX_FLOAT,
+    dot,
+    mis_weight,
+    normalize,
+)
+from mcpt_tpu.ops.traversal import intersect_any, intersect_closest
+from mcpt_tpu.ops.warps import sample_hemisphere_cosine
+from mcpt_tpu.ops.math import build_onb, to_world
+from mcpt_tpu.scene.compile import SceneData
+
+# static light-subpath length (surface vertices beyond the light point)
+K_LIGHT = 3
+
+
+class LightVertex(NamedTuple):
+    valid: jnp.ndarray      # [N]
+    position: jnp.ndarray   # [N, 3]
+    normal: jnp.ndarray     # [N, 3] oriented shading normal
+    inst_id: jnp.ndarray    # [N]
+    bsdf_id: jnp.ndarray    # [N]
+    uv: jnp.ndarray         # [N, 2]
+    tangent: jnp.ndarray    # [N, 3]
+    bitangent: jnp.ndarray  # [N, 3]
+    inside: jnp.ndarray     # [N]
+    wi_in: jnp.ndarray      # [N, 3] direction light traveled INTO vertex
+    radiance: jnp.ndarray   # [N, 3] cached radiance toward wo (bdpt caching)
+    prev_pos: jnp.ndarray   # [N, 3] previous vertex position
+    prev_area_pdf: jnp.ndarray  # [N] area pdf at the previous vertex
+
+
+def light_subpath_draws(scene: SceneData) -> int:
+    per_vertex = bsdfs.N_SAMPLE_DRAWS + 1 + nee_draw_count(scene)
+    return 5 + K_LIGHT * per_vertex
+
+
+def _light_subpath(scene: SceneData, integ, seed, n):
+    """Build the light subpath + per-vertex cached radiance.  Returns
+    (vertices stacked over K as a LightVertex of [K, N, ...], seed)."""
+    # --- light vertex (bdpt.cpp:77-90)
+    seed, xi = rng.random_floats(seed, 5)
+    pos0, n0, rad0, pdf_area0 = _sample_area_light(scene, xi[0], xi[1], xi[2])
+    d_local, pdf_dir0 = sample_hemisphere_cosine(xi[3], xi[4])
+    t0, b0 = build_onb(n0)
+    dir0 = to_world(d_local, t0, b0, n0)
+
+    vertices = []
+    prev_pos = pos0
+    prev_dir = dir0
+    prev_valid = jnp.ones((n,), jnp.bool_) & (scene.n_emissive > 0)
+    prev_area_pdf = jnp.broadcast_to(pdf_area0, (n,))
+    # radiance leaving the light toward the first vertex, divided by the
+    # direction pdf (the archive folds this into the transport chain)
+    prev_radiance = rad0
+    prev_pdf_dir = pdf_dir0
+
+    for k in range(K_LIGHT):
+        ghit = intersect_closest(
+            scene.geom, prev_pos, prev_dir,
+            t_max=jnp.where(prev_valid, MAX_FLOAT, 0.0),
+        )
+        hit = interpolate_hit(scene, ghit, prev_pos, prev_dir)
+        hit, seed = apply_opacity(scene, hit, seed)
+        has_b = hit.bsdf_id >= 0
+        is_em = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_b
+        backface = (
+            hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id) & has_b
+        )
+        valid = prev_valid & hit.valid & ~is_em & ~backface & has_b
+
+        wi_in = prev_dir  # direction light travels into this vertex
+
+        # pseudo-sample a continuation, then evaluate the transport
+        # (bdpt.cpp:104-107)
+        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
+        wi_ps, _, _, v_ps = bsdfs.bsdf_sample(
+            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
+            -wi_in, hit.normal, hit.tangent, hit.bitangent, hit.inside,
+            hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
+        )
+        dir_next = -wi_ps
+        pdf_t, f_t, v_t = _bsdf_eval(scene, hit, wi_in, dir_next)
+        valid = valid & v_ps & v_t
+
+        # cached radiance toward dir_next (bdpt.cpp:115-152):
+        # transported term from the previous vertex, MIS-weighted by the
+        # area-measure pdf of reaching this vertex from there
+        prev_normal = n0 if k == 0 else vertices[-1].normal
+        cos_prime = jnp.abs(dot(prev_dir, prev_normal))
+        dist = jnp.sqrt(
+            jnp.maximum(dot(hit.position - prev_pos,
+                            hit.position - prev_pos), 1e-20)
+        )
+        pdf_direct = prev_area_pdf * dist * dist / jnp.maximum(
+            cos_prime, 1e-12
+        )
+        if k == 0:
+            # direct-from-light transport: weight vs the BSDF eval pdf
+            # and divide by that pdf (bdpt.cpp:117-126 L_area_bsdf)
+            w_mis = mis_weight(pdf_t, pdf_direct)
+            trans = (
+                w_mis[..., None]
+                * prev_radiance
+                * f_t
+                / jnp.maximum(pdf_t, 1e-12)[..., None]
+            )
+        else:
+            # surface-to-surface transport in area measure
+            # (bdpt.cpp:133-146 L_indirect)
+            w_mis = mis_weight(pdf_direct, pdf_t)
+            trans = (
+                w_mis[..., None]
+                * prev_radiance
+                * f_t
+                / jnp.maximum(pdf_direct, 1e-12)[..., None]
+            )
+
+        # direct lighting at this vertex toward dir_next
+        seed, xi_nee = rng.random_floats(seed, nee_draw_count(scene))
+        l_direct = _direct_lighting(scene, hit, dir_next, valid, xi_nee)
+
+        radiance = jnp.where(valid[..., None], l_direct + trans, 0.0)
+        if k >= integ.depth_rr:
+            radiance = radiance / integ.pdf_rr
+
+        vertices.append(
+            LightVertex(
+                valid=valid,
+                position=hit.position,
+                normal=hit.normal,
+                inst_id=hit.inst_id,
+                bsdf_id=hit.bsdf_id,
+                uv=hit.uv,
+                tangent=hit.tangent,
+                bitangent=hit.bitangent,
+                inside=hit.inside,
+                wi_in=wi_in,
+                radiance=radiance,
+                prev_pos=prev_pos,
+                prev_area_pdf=prev_area_pdf,
+            )
+        )
+
+        prev_pos = hit.position
+        prev_dir = dir_next
+        prev_valid = valid
+        prev_radiance = radiance
+        prev_area_pdf = scene.map_inst_area_pdf[jnp.maximum(hit.inst_id, 0)]
+
+    return vertices, seed
+
+
+def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
+    """One camera-vertex <-> light-vertex connection
+    (bdpt.cpp:194-245): visibility + eval at both ends + area-measure
+    conversion.  Returns (L [N,3], pdf_direct [N], ok [N])."""
+    d_vec = hit.position - vert.position
+    dist = jnp.sqrt(jnp.maximum(dot(d_vec, d_vec), 1e-20))
+    dir_lc = d_vec / dist[..., None]  # light-vertex -> camera-vertex
+
+    cos_prime = jnp.abs(dot(dir_lc, vert.normal))
+    geo_ok = vert.valid & alive & (cos_prime >= EPSILON_FLOAT)
+    occluded = intersect_any(
+        scene.geom,
+        vert.position,
+        dir_lc,
+        t_min=EPSILON_DISTANCE,
+        t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
+    )
+    ok = geo_ok & ~occluded
+
+    # Treat the light vertex as an area emitter whose emitted radiance is
+    # its cached exitant radiance — the archive's i>=2 connection formula
+    # (bdpt.cpp:215-242) with L_prev taken from the subpath cache (the
+    # archive re-evaluates L_prev's direction dependence per connection;
+    # the cache is exact for Lambertian subpath vertices and an
+    # approximation for glossy ones — documented deviation).
+    area_pdf_l = scene.map_inst_area_pdf[jnp.maximum(vert.inst_id, 0)]
+    pdf_direct = area_pdf_l * dist * dist / jnp.maximum(cos_prime, 1e-12)
+
+    # camera vertex evaluates the incoming direction
+    pdf_c, f_c, v_c = _bsdf_eval(scene, hit, dir_lc, wo)
+    ok = ok & v_c
+
+    w_direct = mis_weight(pdf_direct, pdf_c)
+    L = (
+        w_direct[..., None]
+        * vert.radiance
+        * f_c
+        / jnp.maximum(pdf_direct, 1e-12)[..., None]
+    )
+    return jnp.where(ok[..., None], L, 0.0), pdf_direct, ok
+
+
+def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
+    """BDPT shade: unidirectional skeleton + per-bounce light-subpath
+    connections (ShadeIterately, bdpt.cpp:159-313)."""
+    n = o.shape[0]
+
+    ghit = intersect_closest(scene.geom, o, d)
+    hit = interpolate_hit(scene, ghit, o, d)
+    hit, seed = apply_opacity(scene, hit, seed)
+
+    L = jnp.zeros((n, 3), jnp.float32)
+    if scene.env_kind != "none":
+        L = L + jnp.where(~hit.valid[..., None], _escape_radiance(scene, d), 0.0)
+    if scene.sun_row >= 0:
+        L = L + jnp.where(
+            ~hit.valid[..., None],
+            emitters.eval_sun_escape(scene.emitters, scene.tex, scene.sun_row, d),
+            0.0,
+        )
+
+    has_bsdf = hit.bsdf_id >= 0
+    emitter0 = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_bsdf & hit.valid
+    backface0 = (
+        hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id)
+        & has_bsdf & hit.valid
+    )
+    if not integ.hide_emitters:
+        L = L + jnp.where(
+            (emitter0 & ~backface0)[..., None],
+            bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv),
+            0.0,
+        )
+    alive = hit.valid & ~emitter0 & ~backface0
+
+    no_lights = (
+        scene.n_emissive == 0
+        and not scene.emitter_rows
+        and scene.env_kind == "none"
+    )
+    if no_lights or integ.depth_max <= 1:
+        return L, seed
+
+    # --- light subpath (shared by all bounces of this lane)
+    light_path, seed = _light_subpath(scene, integ, seed, n)
+
+    n_nee = nee_draw_count(scene)
+    pdf_rr_rcp = 1.0 / integ.pdf_rr
+    beta = jnp.ones((n, 3), jnp.float32)
+    wo = -d
+    pdf_mis = jnp.full((n,), 1e12, jnp.float32)
+
+    # Python-unrolled bounce loop (depth_max for BDPT configs is small);
+    # each bounce consumes a fixed draw budget.
+    depth_cap = min(integ.depth_max, 8)
+    for dep in range(1, depth_cap):
+        # --- Russian roulette
+        seed, rr_u = rng.random_float(seed)
+        if dep >= integ.depth_rr:
+            alive = alive & (rr_u < integ.pdf_rr)
+            beta = jnp.where(alive[..., None], beta * pdf_rr_rcp, beta)
+
+        # --- NEE (s=1 strategies)
+        seed, xi_nee = rng.random_floats(seed, n_nee)
+        L = L + beta * _direct_lighting(scene, hit, wo, alive, xi_nee)
+
+        # --- light-subpath connections (s>=2), power-heuristic combined
+        # across the K strategies (bdpt.cpp:240-245 WeightPowerHeuristic)
+        conn_L = []
+        conn_pdf = []
+        for vert in light_path:
+            Lc, pdfc, okc = _connect(scene, hit, wo, alive, vert)
+            conn_L.append(Lc)
+            conn_pdf.append(jnp.where(okc, pdfc, 0.0))
+        if conn_L:
+            pdf_sq = [p * p for p in conn_pdf]
+            denom = sum(pdf_sq)
+            for Lc, p2 in zip(conn_L, pdf_sq):
+                w = p2 / jnp.maximum(denom, 1e-20)
+                L = L + beta * w[..., None] * Lc
+
+        # --- continuation
+        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
+        wi, pdf_b, f, valid_b = bsdfs.bsdf_sample(
+            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
+            wo, hit.normal, hit.tangent, hit.bitangent, hit.inside,
+            hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
+        )
+        beta_new = beta * f / jnp.maximum(pdf_b, 1e-12)[..., None]
+        alive = alive & valid_b & (jnp.max(beta_new, axis=-1) >= EPSILON)
+        beta = jnp.where(alive[..., None], beta_new, beta)
+        null_vertex = hit.bsdf_id < 0
+        pdf_mis = jnp.where(null_vertex, pdf_mis, pdf_b)
+
+        o2 = hit.position
+        d2 = -wi
+        ghit2 = intersect_closest(
+            scene.geom, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+        )
+        hit2 = interpolate_hit(scene, ghit2, o2, d2)
+        hit2, seed = apply_opacity(scene, hit2, seed)
+
+        if scene.env_kind != "none":
+            esc = alive & ~hit2.valid
+            rad_esc = _escape_radiance(scene, d2)
+            pdf_esc = _escape_pdf(scene, d2)
+            w_esc = mis_weight(pdf_mis, pdf_esc)
+            L = L + jnp.where(
+                esc[..., None], w_esc[..., None] * beta * rad_esc, 0.0
+            )
+        alive = alive & hit2.valid
+
+        has_b = hit2.bsdf_id >= 0
+        em = bsdfs.is_emitter(scene.bsdf, hit2.bsdf_id) & has_b
+        cos_prime = dot(wi, hit2.normal)
+        pdf_area_hit = scene.map_inst_light_pdf[jnp.maximum(hit2.inst_id, 0)]
+        t_safe = jnp.where(hit2.valid, jnp.minimum(hit2.t, 1e8), 1.0)
+        pdf_direct = (
+            pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
+        )
+        w_bsdf = mis_weight(pdf_mis, pdf_direct)
+        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
+        take_em = alive & em & (cos_prime >= EPSILON_FLOAT)
+        L = L + jnp.where(take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0)
+        alive = alive & ~em
+
+        backface = (
+            hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
+        )
+        alive = alive & ~backface
+
+        # down-weight the surviving camera continuation against the
+        # area-measure connection strategies that can also construct the
+        # same transport paths (bdpt.cpp:269-283)
+        cos_cont = jnp.maximum(jnp.abs(dot(wi, hit2.normal)), 1e-4)
+        pdf_area_cont = scene.map_inst_area_pdf[jnp.maximum(hit2.inst_id, 0)]
+        pdf_direct_cont = pdf_area_cont * (t_safe * t_safe) / cos_cont
+        w_cont = mis_weight(pdf_b, pdf_direct_cont)
+        beta = jnp.where(alive[..., None], beta * w_cont[..., None], beta)
+
+        wo = wi
+        hit = hit2
+
+    return L, seed

@@ -53,10 +53,14 @@ from mcpt_tpu.ops.math import (
     to_world,
 )
 from mcpt_tpu.ops.microfacet import (
+    fresnel_dielectric,
     fresnel_schlick,
+    pdf_beckmann,
     pdf_ggx,
+    sample_beckmann,
     sample_ggx,
     smith_g1,
+    smith_g1_beckmann,
 )
 from mcpt_tpu.ops.warps import sample_hemisphere_cosine
 from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
@@ -94,6 +98,9 @@ class BsdfTables:
     f_avg: jnp.ndarray            # [B] scalar average Fresnel(eta)
     f_avg_inv: jnp.ndarray        # [B] scalar average Fresnel(1/eta)
     use_fast_approx: jnp.ndarray  # [B] bool (rough diffuse)
+    use_beckmann: jnp.ndarray     # [B] bool (Beckmann NDF instead of GGX)
+    clear_coat: jnp.ndarray       # [B] f32 clear-coat weight (0 = none)
+    coat_roughness_tid: jnp.ndarray  # [B] int32 coat alpha texture
 
 
 def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
@@ -132,7 +139,7 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
         if info.btype in (BsdfType.DIELECTRIC, BsdfType.THIN_DIELECTRIC):
             # dielectrics are forced two-sided (csrt bsdf.cpp:161)
             twosided[i] = True
-        if info.btype == BsdfType.CONDUCTOR:
+        if info.btype in (BsdfType.CONDUCTOR, BsdfType.CLEARCOAT_CONDUCTOR):
             refl_rgb[i] = np.broadcast_to(
                 np.asarray(info.reflectivity, np.float32), (3,)
             )
@@ -166,6 +173,13 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
         f_avg=jnp.asarray(f_avg),
         f_avg_inv=jnp.asarray(f_avg_inv),
         use_fast_approx=jnp.asarray(arr(lambda i: i.use_fast_approx, np.bool_)),
+        use_beckmann=jnp.asarray(
+            arr(lambda i: i.ndf == "beckmann", np.bool_)
+        ),
+        clear_coat=jnp.asarray(arr(lambda i: i.clear_coat, np.float32)),
+        coat_roughness_tid=jnp.asarray(
+            arr(lambda i: i.id_coat_roughness, np.int32)
+        ),
     )
 
 
@@ -196,6 +210,31 @@ def _scalar_tex(tex, tid, uv, default=0.1):
 
 def _safe(x, eps=1e-12):
     return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+
+# ---------------------------------------------------------------------------
+# Per-lane NDF selection (GGX default, Beckmann for archive-parity BSDFs)
+
+
+def _sample_ndf(xi0, xi1, au, av, beck):
+    hg, pg = sample_ggx(xi0, xi1, au, av)
+    hb, pb = sample_beckmann(xi0, xi1, au, av)
+    h = jnp.where(beck[..., None], hb, hg)
+    return h, jnp.where(beck, pb, pg)
+
+
+def _pdf_ndf(au, av, h_local, beck):
+    return jnp.where(
+        beck, pdf_beckmann(au, av, h_local), pdf_ggx(au, av, h_local)
+    )
+
+
+def _g1_ndf(au, av, v_local, h_local, beck):
+    return jnp.where(
+        beck,
+        smith_g1_beckmann(au, av, v_local, h_local),
+        smith_g1(au, av, v_local, h_local),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +380,8 @@ def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     (csrt conductor.cpp:36-79)."""
     au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
     av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    beck = tables.use_beckmann[bid]
+    h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
     pdf = d_pdf / (4.0 * _safe(h_dot_o))
@@ -350,7 +390,7 @@ def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
 
     wi_local = to_local(-wi, t, b, n)
     wo_local = to_local(wo, t, b, n)
-    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi, h)
     n_dot_o = wo_local[..., 2]
     f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
@@ -372,13 +412,14 @@ def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     h_local = to_local(h, t, b, n)
     au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
     av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    d = pdf_ggx(au, av, h_local)
+    beck = tables.use_beckmann[bid]
+    d = _pdf_ndf(au, av, h_local, beck)
     h_dot_o = dot(wo, h)
     pdf = d / (4.0 * _safe(h_dot_o))
 
     wi_local = to_local(-wi, t, b, n)
     wo_local = to_local(wo, t, b, n)
-    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi, h)
     f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
     atten = f * (d * g / (4.0 * _safe(n_dot_o)))[..., None]
@@ -402,7 +443,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     av = jnp.maximum(
         _scalar_tex(tex, tables.roughness_v_tid[bid], uv) * scale, _MIN_ALPHA
     )
-    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    beck = tables.use_beckmann[bid]
+    h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
 
@@ -425,8 +467,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     n_dot_i_r = dot(-wi_r, n)
     pdf_r = f_sel * d_pdf / (4.0 * _safe(h_dot_o))
     wi_local_r = to_local(-wi_r, t, b, n)
-    g_r = smith_g1(au, av, wi_local_r, h_local) * smith_g1(
-        au, av, wo_local, h_local
+    g_r = _g1_ndf(au, av, wi_local_r, h_local, beck) * _g1_ndf(
+        au, av, wo_local, h_local, beck
     )
     atten_r = jnp.broadcast_to(
         (f_sel * d_pdf * g_r / (4.0 * _safe(n_dot_o)))[..., None], wo.shape
@@ -458,8 +500,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     f_t = fresnel_schlick(h_dot_i_t, tables.reflectivity[bid])
     denom = sqr(eta_inv * h_dot_i_t + h_dot_o_t)
     pdf_t = (1.0 - f_t) * d_pdf * jnp.abs(h_dot_o_t / _safe(denom))
-    g_t = smith_g1(au, av, wi_local_t, h_local) * smith_g1(
-        au, av, wo_local, h_local
+    g_t = _g1_ndf(au, av, wi_local_t, h_local, beck) * _g1_ndf(
+        au, av, wo_local, h_local, beck
     )
     atten_t_s = (
         jnp.abs(h_dot_i_t) * jnp.abs(h_dot_o_t) * (1.0 - f_t) * g_t * d_pdf
@@ -511,7 +553,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
 
     au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
     av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    d = pdf_ggx(au, av, h_local)
+    beck = tables.use_beckmann[bid]
+    d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
     h_dot_o = dot(wo, h)
     f = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
@@ -526,7 +569,7 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     wo_local_r = to_local(wo, t, b, n)
     wo_local_t = to_local(-wo, t, b, n)
     wo_local = jnp.where(is_reflect[..., None], wo_local_r, wo_local_t)
-    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
 
     atten_r = f * d * g / (4.0 * _safe(n_dot_o))
     atten_t = (
@@ -564,7 +607,8 @@ def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     or pass straight through (wi = wo)."""
     au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
     av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    h_local, d_pdf = sample_ggx(xi[0], xi[1], au, av)
+    beck = tables.use_beckmann[bid]
+    h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
     pdf0 = d_pdf / (4.0 * _safe(h_dot_o))
@@ -573,7 +617,7 @@ def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     n_dot_i = dot(-wi_r, n)
     wi_local = to_local(-wi_r, t, b, n)
     wo_local = to_local(wo, t, b, n)
-    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi_r, h)
     n_dot_o = wo_local[..., 2]
     f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
@@ -604,7 +648,8 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
     h_local = to_local(h, t, b, n)
     au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
     av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    d = pdf_ggx(au, av, h_local)
+    beck = tables.use_beckmann[bid]
+    d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
     h_dot_o = dot(wo, h)
     f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
@@ -612,7 +657,7 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
 
     pdf = jnp.where(is_reflect, f, 1.0 - f) * d / (4.0 * _safe(h_dot_o))
     wi_local = to_local(-wi, t, b, n)
-    g = smith_g1(au, av, wi_local, h_local) * smith_g1(au, av, wo_local, h_local)
+    g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     base = jnp.where(is_reflect, f, 1.0 - f) * d * g / (4.0 * _safe(n_dot_o))
     spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
     tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
@@ -744,6 +789,71 @@ def _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b):
     return pdf, atten, valid
 
 
+def _eval_clearcoat(tables, tex, kc, bid, uv, wi, wo, n, t, b):
+    """Clear-coated conductor: nested conductor + dielectric-coat GGX
+    lobe, linearly mixed by weight = clear_coat * F_coat
+    (archive clear_coated_conductor.cpp:115-160 Eval)."""
+    pdf_n, atten_n, valid_n = _eval_conductor(
+        tables, tex, kc, bid, uv, wi, wo, n, t, b
+    )
+    h = normalize(-wi + wo)
+    h_local = to_local(h, t, b, n)
+    cos_o = dot(wo, n)
+    cos_i = dot(-wi, n)
+    clear = tables.clear_coat[bid]
+    f_coat = fresnel_dielectric(jnp.abs(dot(-wi, h)), 1.0 / 1.5)
+    w_coat = clear * f_coat
+    a_coat = jnp.maximum(
+        _scalar_tex(tex, tables.coat_roughness_tid[bid], uv), _MIN_ALPHA
+    )
+    d_coat = pdf_ggx(a_coat, a_coat, h_local)
+    pdf_coat = d_coat / (4.0 * _safe(jnp.abs(dot(wo, h))))
+    wi_local = to_local(-wi, t, b, n)
+    wo_local = to_local(wo, t, b, n)
+    g_coat = smith_g1(a_coat, a_coat, wi_local, h_local) * smith_g1(
+        a_coat, a_coat, wo_local, h_local
+    )
+    atten_coat = (
+        f_coat * d_coat * g_coat
+        / (4.0 * _safe(jnp.abs(cos_i * cos_o)))
+        * cos_i
+    )
+    pdf = pdf_n * (1.0 - w_coat) + w_coat * pdf_coat
+    atten = atten_n * (1.0 - w_coat)[..., None] + (clear * atten_coat)[..., None]
+    valid = (cos_o >= EPSILON_FLOAT) & (pdf >= EPSILON)
+    return pdf, atten, valid
+
+
+def _sample_clearcoat(tables, tex, kc, bid, uv, wo, n, t, b, xi):
+    """Sample coat reflection with probability clear_coat*F(cos_o), else
+    the nested conductor; atten/pdf from the combined Eval (the archive's
+    sample recomputes exactly the eval mixture,
+    clear_coated_conductor.cpp:29-112)."""
+    cos_o = dot(wo, n)
+    clear = tables.clear_coat[bid]
+    w_sel = clear * fresnel_dielectric(jnp.abs(cos_o), 1.0 / 1.5)
+    choose_coat = xi[2] < w_sel
+
+    # coat branch: sample coat GGX and reflect
+    a_coat = jnp.maximum(
+        _scalar_tex(tex, tables.coat_roughness_tid[bid], uv), _MIN_ALPHA
+    )
+    h_local_c, _ = sample_ggx(xi[0], xi[1], a_coat, a_coat)
+    h_c = to_world(h_local_c, t, b, n)
+    wi_c = -reflect(-wo, h_c)
+
+    # nested branch: conductor sample
+    wi_n, _, _, _ = _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi)
+
+    wi = jnp.where(choose_coat[..., None], wi_c, wi_n)
+    pdf, atten, valid = _eval_clearcoat(
+        tables, tex, kc, bid, uv, wi, wo, n, t, b
+    )
+    n_dot_i = dot(-wi, n)
+    valid = valid & (n_dot_i >= EPSILON_FLOAT)
+    return wi, pdf, atten, valid
+
+
 # ---------------------------------------------------------------------------
 # Wavefront dispatch
 
@@ -822,6 +932,13 @@ def bsdf_sample(tables: BsdfTables, tex, present_types, bid, wo, normal,
         )
         merge(m, w_, p_, a_, v_)
 
+    if BsdfType.CLEARCOAT_CONDUCTOR in present_types:
+        m = btype == BsdfType.CLEARCOAT_CONDUCTOR
+        w_, p_, a_, v_ = _sample_clearcoat(
+            tables, tex, kc, bid, uv, wo, n, t, b, xi
+        )
+        merge(m, w_, p_, a_, v_)
+
     # null boundary: straight pass-through
     wi = jnp.where(null[..., None], wo, wi)
     pdf = jnp.where(null, 1.0, pdf)
@@ -892,6 +1009,13 @@ def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
     if BsdfType.PLASTIC in present_types:
         m = btype == BsdfType.PLASTIC
         p_, a_, v_ = _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b)
+        merge(m, p_, a_, v_)
+
+    if BsdfType.CLEARCOAT_CONDUCTOR in present_types:
+        m = btype == BsdfType.CLEARCOAT_CONDUCTOR
+        p_, a_, v_ = _eval_clearcoat(
+            tables, tex, kc, bid, uv, wi, wo, n, t, b
+        )
         merge(m, p_, a_, v_)
 
     valid = valid & ~null

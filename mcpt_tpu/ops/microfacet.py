@@ -54,6 +54,68 @@ def smith_g1(alpha_u, alpha_v, v_local, h_local):
     return jnp.where(n_dot_v * h_local[..., 2] > 0.0, g, 0.0)
 
 
+def sample_beckmann(xi0, xi1, alpha_u, alpha_v):
+    """Sample a microfacet normal from the anisotropic Beckmann NDF
+    (archive ndfs/beckmann.cpp:8-30).  Returns (h_local, pdf = D*cos)."""
+    phi = jnp.arctan(
+        alpha_v / alpha_u * jnp.tan(PI + TWO_PI * xi1)
+    ) + PI * jnp.floor(2.0 * xi1 + 0.5)
+    cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
+    alpha_2 = 1.0 / jnp.maximum(
+        sqr(cos_phi / alpha_u) + sqr(sin_phi / alpha_v), 1e-20
+    )
+    xi0 = jnp.minimum(xi0, 1.0 - 1e-6)
+    cos_theta = 1.0 / jnp.sqrt(
+        jnp.maximum(1.0 - alpha_2 * jnp.log1p(-xi0), 1e-12)
+    )
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(cos_theta)))
+    h = jnp.stack([sin_theta * cos_phi, sin_theta * sin_phi, cos_theta], axis=-1)
+    pdf = (1.0 - xi0) / jnp.maximum(
+        PI * alpha_u * alpha_v * cos_theta**3, 1e-20
+    )
+    return h, pdf
+
+
+def pdf_beckmann(alpha_u, alpha_v, h_local):
+    """Beckmann NDF-sampling pdf of `h_local`
+    (archive beckmann.cpp:33-52)."""
+    cos_theta = h_local[..., 2]
+    cos_theta_2 = jnp.maximum(sqr(cos_theta), 1e-12)
+    cos_theta_3 = cos_theta_2 * jnp.maximum(cos_theta, 1e-12)
+    expo = (sqr(h_local[..., 0] / alpha_u) + sqr(h_local[..., 1] / alpha_v)) / cos_theta_2
+    pdf = jnp.exp(-expo) / jnp.maximum(
+        PI * alpha_u * alpha_v * cos_theta_3, 1e-20
+    )
+    return jnp.where(cos_theta > 0.0, pdf, 0.0)
+
+
+def smith_g1_beckmann(alpha_u, alpha_v, v_local, h_local):
+    """Beckmann Smith G1 with the rational fit (archive beckmann.cpp:55-96)."""
+    n_dot_v = v_local[..., 2]
+    xy_alpha_2 = sqr(alpha_u * v_local[..., 0]) + sqr(alpha_v * v_local[..., 1])
+    tan_theta_2 = xy_alpha_2 / jnp.maximum(sqr(n_dot_v), 1e-20)
+    a = 1.0 / jnp.sqrt(jnp.maximum(tan_theta_2, 1e-20))
+    a2 = sqr(a)
+    g = jnp.where(
+        a < 1.6,
+        (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2),
+        1.0,
+    )
+    return jnp.where(n_dot_v * h_local[..., 2] > 0.0, g, 0.0)
+
+
+def fresnel_dielectric(cos_i, eta_inv):
+    """Exact dielectric Fresnel for the clear-coat layer
+    (archive math/sample.cpp FresnelDielectric semantics):
+    `cos_i` >= 0 against the interface normal, `eta_inv` = n_i/n_t."""
+    sin_t_2 = sqr(eta_inv) * (1.0 - sqr(cos_i))
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t_2))
+    r_s = (eta_inv * cos_i - cos_t) / jnp.maximum(eta_inv * cos_i + cos_t, 1e-12)
+    r_p = (cos_i - eta_inv * cos_t) / jnp.maximum(cos_i + eta_inv * cos_t, 1e-12)
+    f = 0.5 * (sqr(r_s) + sqr(r_p))
+    return jnp.where(sin_t_2 >= 1.0, 1.0, f)
+
+
 def fresnel_schlick(cos_theta, reflectivity):
     """Schlick's approximation (microfacet.hpp:25-29).
 

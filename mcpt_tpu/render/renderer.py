@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mcpt_tpu.integrators import bdpt as bdpt_integrator
 from mcpt_tpu.integrators import path as path_integrator
 from mcpt_tpu.integrators import volpath as volpath_integrator
 from mcpt_tpu.ops import rng
@@ -50,11 +51,10 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
     )
     seed0 = rng.pixel_seed(pixel_idx, base)
     acc0 = jnp.zeros((n, 3), jnp.float32)
-    shade = (
-        volpath_integrator.shade
-        if integ.itype == "volpath"
-        else path_integrator.shade
-    )
+    shade = {
+        "volpath": volpath_integrator.shade,
+        "bdpt": bdpt_integrator.shade,
+    }.get(integ.itype, path_integrator.shade)
 
     def body(s, carry):
         acc, seed = carry

@@ -65,6 +65,9 @@ class SceneData:
     map_inst_bsdf: jnp.ndarray       # [I] int32 (-1 = none)
     map_inst_light_pdf: jnp.ndarray  # [I] f32 — pdf_area if instance is an
     #                                  area light else 0 (P(light)/area)
+    map_inst_area_pdf: jnp.ndarray   # [I] f32 — uniform-surface-sampling pdf
+    #   (1/area_inst) / n_non_emitter_instances for BDPT connections
+    #   (archive its.pdf_area() * no_emitter_num_rcp_, bdpt.cpp:137-139)
     em: EmissiveTris
     emitters: EmitterTables          # analytic lights (SoA rows)
     env: EnvMapData                  # envmap CDFs (placeholder when absent)
@@ -156,6 +159,14 @@ def compile_scene(config: RendererConfig) -> SceneData:
     sum_w = sum(w for _, w, _ in lights) or 1.0
     em_rows = []
     map_inst_light_pdf = np.zeros(max(n_inst, 1), np.float32)
+    light_ids = {i for i, _, _ in lights}
+    n_non_emitter = max(n_inst - len(lights), 1)
+    map_inst_area_pdf = np.zeros(max(n_inst, 1), np.float32)
+    for inst_id in range(n_inst):
+        lo, hi = inst_tri_ranges[inst_id]
+        area_i = max(float(triangle_areas(tri_pos[lo:hi]).sum()), 1e-20)
+        if inst_id not in light_ids:
+            map_inst_area_pdf[inst_id] = 1.0 / (area_i * n_non_emitter)
     for inst_id, weight, bsdf_id in lights:
         lo, hi = inst_tri_ranges[inst_id]
         areas = triangle_areas(tri_pos[lo:hi])
@@ -241,6 +252,7 @@ def compile_scene(config: RendererConfig) -> SceneData:
         bsdf=bsdf,
         map_inst_bsdf=jnp.asarray(map_inst_bsdf if n_inst else np.zeros(1, np.int32)),
         map_inst_light_pdf=jnp.asarray(map_inst_light_pdf),
+        map_inst_area_pdf=jnp.asarray(map_inst_area_pdf),
         em=em,
         emitters=emitters,
         env=env,

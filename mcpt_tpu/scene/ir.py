@@ -15,7 +15,9 @@ import numpy as np
 
 
 class BsdfType(enum.IntEnum):
-    # integer codes are device-side table values (csrt bsdf.hpp:17-27)
+    # integer codes are device-side table values (csrt bsdf.hpp:17-27);
+    # CLEARCOAT_CONDUCTOR is the archive-v1 extra
+    # (archive/src/bsdfs/clear_coated_conductor.hpp)
     AREA_LIGHT = 0
     DIFFUSE = 1
     ROUGH_DIFFUSE = 2
@@ -23,6 +25,7 @@ class BsdfType(enum.IntEnum):
     DIELECTRIC = 4
     THIN_DIELECTRIC = 5
     PLASTIC = 6
+    CLEARCOAT_CONDUCTOR = 7
 
 
 class EmitterType(enum.IntEnum):
@@ -97,6 +100,12 @@ class BsdfInfo:
     )
     eta: float = 1.5                  # dielectric / thin / plastic scalar IOR
     use_fast_approx: bool = False     # rough diffuse
+    # microfacet distribution: "ggx" (csrt main) or "beckmann" (archive
+    # ndfs/beckmann.cpp; Mitsuba `distribution` parameter)
+    ndf: str = "ggx"
+    # clear-coated conductor (archive clear_coated_conductor.cpp)
+    clear_coat: float = 0.0
+    id_coat_roughness: int = -1
 
 
 @dataclasses.dataclass

@@ -296,10 +296,13 @@ def _read_camera(ctx, sensor):
 def _read_integrator(ctx, node):
     integ = ctx.config.integrator = IntegratorInfo()
     itype = node.get("type", "path")
-    if itype not in ("path", "volpath", "volpath_simple"):
+    if itype not in ("path", "volpath", "volpath_simple", "bdpt"):
         _warn(f"unsupported integrator '{itype}', using 'path'")
         itype = "path"
-    integ.itype = "volpath" if itype.startswith("volpath") else "path"
+    if itype.startswith("volpath"):
+        integ.itype = "volpath"
+    else:
+        integ.itype = itype
     integ.depth_max = _read_int(ctx, node, ("maxDepth", "max_depth"), 64)
     if integ.depth_max < 0:
         integ.depth_max = 64
@@ -433,6 +436,13 @@ def _read_bsdf(ctx, node, id_=None, id_opacity=-1, id_bump=-1,
         return -1
 
     info = BsdfInfo(twosided=twosided, id_opacity=id_opacity, id_bump_map=id_bump)
+    for child in node.findall("string"):
+        if child.get("name") == "distribution":
+            dist = child.get("value", "ggx")
+            if dist in ("ggx", "beckmann"):
+                info.ndf = dist
+            else:
+                _warn(f"unsupported distribution '{dist}', using ggx")
     if btype == "diffuse":
         info.btype = BsdfType.DIFFUSE
         info.id_diffuse_reflectance = _read_texture_param(
@@ -477,9 +487,20 @@ def _read_bsdf(ctx, node, id_=None, id_opacity=-1, id_bump=-1,
         info.id_specular_transmittance = _read_texture_param(
             ctx, node, ("specularTransmittance", "specular_transmittance"), 1.0
         )
-    elif btype in ("conductor", "roughconductor"):
-        info.btype = BsdfType.CONDUCTOR
-        if btype == "roughconductor":
+    elif btype in ("conductor", "roughconductor", "clearcoatedconductor",
+                   "clear_coated_conductor"):
+        is_coated = btype.startswith("clear")
+        info.btype = (
+            BsdfType.CLEARCOAT_CONDUCTOR if is_coated else BsdfType.CONDUCTOR
+        )
+        if is_coated:
+            info.clear_coat = _read_float(
+                ctx, node, ("clearCoat", "clear_coat"), 1.0
+            )
+            info.id_coat_roughness = _read_texture_param(
+                ctx, node, ("coatAlpha", "coat_alpha"), 0.01
+            )
+        if btype != "conductor":
             if _child_by_name(node, ("alpha",)) is not None:
                 info.id_roughness_u = _read_texture_param(ctx, node, ("alpha",), 0.1)
                 info.id_roughness_v = info.id_roughness_u

@@ -258,3 +258,101 @@ class TestRoughDiffuse:
             v = np.asarray(valid)
             w = np.asarray(atten)[v, 0] / np.maximum(np.asarray(pdf)[v], 1e-12)
             assert 0.3 < w.mean() <= 1.05, f"fast={fast}: {w.mean()}"
+
+
+class TestBeckmann:
+    def test_sample_pdf_consistency(self):
+        """Beckmann sample pdf == pdf_beckmann of the sampled normal."""
+        from mcpt_tpu.ops import microfacet as mf
+
+        r = np.random.default_rng(0)
+        xi0 = jnp.asarray(r.random(5000, dtype=np.float32))
+        xi1 = jnp.asarray(r.random(5000, dtype=np.float32))
+        for au, av in [(0.1, 0.1), (0.5, 0.5), (0.2, 0.6)]:
+            h, pdf_s = mf.sample_beckmann(xi0, xi1, au, av)
+            pdf_e = mf.pdf_beckmann(au, av, h)
+            np.testing.assert_allclose(
+                np.asarray(pdf_s), np.asarray(pdf_e), rtol=3e-2, atol=1e-2
+            )
+
+    def test_conductor_with_beckmann_distribution(self):
+        """A Beckmann conductor samples/evaluates consistently."""
+        tb = TextureBuilder()
+        r = tb.add_constant([0.3] * 3)
+        info = BsdfInfo(
+            btype=BsdfType.CONDUCTOR,
+            id_roughness_u=r,
+            id_roughness_v=r,
+            reflectivity=np.full(3, 0.9, np.float32),
+            edgetint=np.ones(3, np.float32),
+            ndf="beckmann",
+        )
+        (wi, pdf, atten, valid), (tables, tex, wo, n, t, b, inside, uv, bid) = sample(
+            info, tb, cos_o=0.6, n=20000
+        )
+        pdf_e, atten_e, valid_e = B.bsdf_evaluate(
+            tables, tex, (int(info.btype),), bid, wi, wo, n, t, b, inside, uv
+        )
+        m = np.asarray(valid & valid_e)
+        assert m.mean() > 0.8
+        np.testing.assert_allclose(
+            np.asarray(pdf)[m], np.asarray(pdf_e)[m], rtol=3e-2, atol=1e-2
+        )
+
+
+class TestClearcoat:
+    def _info(self, rough=0.3, coat=1.0):
+        tb = TextureBuilder()
+        r = tb.add_constant([rough] * 3)
+        cr = tb.add_constant([0.05] * 3)
+        return (
+            BsdfInfo(
+                btype=BsdfType.CLEARCOAT_CONDUCTOR,
+                id_roughness_u=r,
+                id_roughness_v=r,
+                reflectivity=np.full(3, 0.9, np.float32),
+                edgetint=np.ones(3, np.float32),
+                clear_coat=coat,
+                id_coat_roughness=cr,
+            ),
+            tb,
+        )
+
+    def test_sample_eval_consistent(self):
+        info, tb = self._info()
+        (wi, pdf, atten, valid), (tables, tex, wo, n, t, b, inside, uv, bid) = sample(
+            info, tb, cos_o=0.6, n=20000
+        )
+        pdf_e, atten_e, valid_e = B.bsdf_evaluate(
+            tables, tex, (int(info.btype),), bid, wi, wo, n, t, b, inside, uv
+        )
+        m = np.asarray(valid & valid_e)
+        assert m.mean() > 0.7
+        np.testing.assert_allclose(
+            np.asarray(pdf)[m], np.asarray(pdf_e)[m], rtol=2e-2, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(atten)[m], np.asarray(atten_e)[m], rtol=3e-2, atol=1e-3
+        )
+
+    def test_zero_coat_equals_conductor(self):
+        """clear_coat = 0 must reduce exactly to the nested conductor."""
+        info_c, tb_c = self._info(coat=0.0)
+        (wi0, pdf0, a0, v0), _ = sample(info_c, tb_c, cos_o=0.6, n=5000)
+        tb2 = TextureBuilder()
+        r2 = tb2.add_constant([0.3] * 3)
+        info2 = BsdfInfo(
+            btype=BsdfType.CONDUCTOR,
+            id_roughness_u=r2,
+            id_roughness_v=r2,
+            reflectivity=np.full(3, 0.9, np.float32),
+            edgetint=np.ones(3, np.float32),
+        )
+        (wi1, pdf1, a1, v1), _ = sample(info2, tb2, cos_o=0.6, n=5000)
+        m = np.asarray(v0 & v1)
+        np.testing.assert_allclose(
+            np.asarray(wi0)[m], np.asarray(wi1)[m], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(pdf0)[m], np.asarray(pdf1)[m], rtol=1e-4
+        )

@@ -230,6 +230,40 @@ def _intersect_dense(geom, o, d, t_min, t_max, any_hit: bool):
 PACKET_BLOCK = 1024  # rays per packet (8 x 128 VPU tiles)
 
 
+def _morton10(x):
+    """Interleave the low 10 bits of uint32 lanes 3 apart."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0xFF0000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0F00F00F)
+    x = (x | (x << 4)) & jnp.uint32(0xC30C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x49249249)
+    return x
+
+
+def _ray_sort_keys(geom, o, d):
+    """Coherence keys: direction octant (high bits) then 21-bit Morton of
+    the origin inside the scene bounds — packets of sorted rays share
+    BVH subtrees (the reference Morton-orders its CPU patches for the
+    same reason, renderer.cpp:24-60)."""
+    lo = geom.node_min[0]
+    hi = geom.node_max[0]
+    span = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((o - lo) / span, 0.0, 1.0)
+    qi = (q * 1023.0).astype(jnp.uint32)
+    morton = (
+        (_morton10(qi[..., 0]) << 2)
+        | (_morton10(qi[..., 1]) << 1)
+        | _morton10(qi[..., 2])
+    )
+    octant = (
+        (d[..., 0] >= 0).astype(jnp.uint32) * 4
+        + (d[..., 1] >= 0).astype(jnp.uint32) * 2
+        + (d[..., 2] >= 0).astype(jnp.uint32)
+    )
+    # keep keys in int32-sortable range: octant(3) + morton>>4 (26 bits)
+    return ((octant << 26) | (morton >> 4)).astype(jnp.int32)
+
+
 def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
     """Packet BVH traversal: one SCALAR stack per ray block, vector
     AABB/triangle tests over the block, node/leaf fetches by scalar
@@ -245,6 +279,14 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
 
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    # sort lanes by coherence key so each packet shares BVH subtrees;
+    # results are scattered back through the inverse permutation
+    order = jnp.argsort(_ray_sort_keys(geom, o, d))
+    o = o[order]
+    d = d[order]
+    t_min = t_min[order]
+    t_max = t_max[order]
 
     def pad_to(a, fill=0.0):
         if pad == n:
@@ -379,8 +421,9 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
         return best
 
     best = lax.map(run_block, (ob, db, tminb, tmaxb))
+    inverse = jnp.argsort(order)
     t_best, prim_best, v_best, w_best, in_best, valid = (
-        x.reshape(pad)[:n] for x in best
+        x.reshape(pad)[:n][inverse] for x in best
     )
     return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best,
                    w=w_best, inside=in_best)

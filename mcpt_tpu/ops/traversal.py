@@ -429,6 +429,67 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
                    w=w_best, inside=in_best)
 
 
+def _use_pallas_dense() -> bool:
+    """Pallas dense sweep on real TPU backends (or forced for tests)."""
+    import os
+
+    flag = os.environ.get("MCPT_PALLAS_DENSE")
+    if flag is not None:
+        return flag == "1"
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _intersect_dense_pallas(geom, o, d, t_min, t_max, any_hit, interpret=False):
+    """VMEM-resident Pallas sweep (ops.pallas_dense)."""
+    from mcpt_tpu.ops.pallas_dense import RAY_BLOCK, dense_sweep
+
+    n = o.shape[0]
+    r = RAY_BLOCK
+    g = -(-n // r)
+    pad = g * r
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    def pad1(a, fill=0.0):
+        return (
+            a if pad == n
+            else jnp.concatenate([a, jnp.full((pad - n,), fill, a.dtype)])
+        )
+
+    rays = jnp.stack(
+        [
+            pad1(o[:, 0]), pad1(o[:, 1]), pad1(o[:, 2]),
+            pad1(d[:, 0]), pad1(d[:, 1]), pad1(d[:, 2], fill=1.0),
+            pad1(t_min), pad1(t_max, fill=0.0),
+        ]
+    ).reshape(8, g, r).swapaxes(0, 1)  # [G, 8, R]
+
+    p = geom.p0.shape[0]
+    tris_t = geom.packed_tris.reshape(p, 12).T  # [12, P]
+
+    t, prim, v, w, flags = dense_sweep(
+        rays, tris_t, any_hit=any_hit, interpret=interpret
+    )
+    t = t.reshape(pad)[:n]
+    prim = prim.reshape(pad)[:n]
+    v = v.reshape(pad)[:n]
+    w = w.reshape(pad)[:n]
+    flags = flags.reshape(pad)[:n]
+    return GeomHit(
+        valid=flags >= 2.0,
+        t=t,
+        prim=prim,
+        v=v,
+        w=w,
+        inside=(flags % 2.0) >= 1.0,
+    )
+
+
 def intersect_closest(geom, o, d, t_min=None, t_max=None):
     """Closest-hit traversal over the whole wavefront.
 
@@ -442,6 +503,8 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
     if t_max is None:
         t_max = MAX_FLOAT
     if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
+        if _use_pallas_dense():
+            return _intersect_dense_pallas(geom, o, d, t_min, t_max, False)
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
     return _intersect_packet(geom, o, d, t_min, t_max, any_hit=False)
 
@@ -455,6 +518,10 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
     if t_max is None:
         t_max = MAX_FLOAT
     if geom.p0.shape[0] <= DENSE_MAX_PRIMS:
+        if _use_pallas_dense():
+            return _intersect_dense_pallas(
+                geom, o, d, t_min, t_max, True
+            ).valid
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
     return _intersect_packet(geom, o, d, t_min, t_max, any_hit=True).valid
 

@@ -123,3 +123,27 @@ def test_barycentric_interpolation_point():
     # v, w weights of vertices 1, 2: position = p0 + v*e1 + w*e2
     p = np.asarray(geom.p0[hit.prim] + hit.v[:, None] * geom.e1[hit.prim] + hit.w[:, None] * geom.e2[hit.prim])
     np.testing.assert_allclose(p[0], [0.5, 0.5, 0.0], atol=1e-6)
+
+
+def test_pallas_dense_matches_reference_interpret():
+    """The Pallas VMEM sweep (interpret mode on CPU) agrees with the
+    XLA dense path and brute force."""
+    from mcpt_tpu.ops.traversal import _intersect_dense_pallas
+
+    verts = random_soup(700, seed=21)
+    geom = commit_geometry(verts, None, None, None, np.zeros(700))
+    o, d = random_rays(300, seed=22)
+    got = _intersect_dense_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                  interpret=True)
+    ref = intersect_closest_brute(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.inside)[m], np.asarray(ref.inside)[m]
+    )
+    occ = _intersect_dense_pallas(geom, o, d, 1e-4, 3.4e38, True,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ.valid), np.asarray(ref.valid))

@@ -12,6 +12,7 @@ device execution trips watchdogs.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -19,6 +20,24 @@ SCENE = "/root/reference/resources/scene/cornell-box/scene_v0.6.xml"
 RES = int(os.environ.get("MCPT_BENCH_RES", "512"))
 SPP = int(os.environ.get("MCPT_BENCH_SPP", "16"))
 DEPTH = 8
+TIMEOUT_S = int(os.environ.get("MCPT_BENCH_TIMEOUT", "1500"))
+
+
+def _watchdog(signum, frame):
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "detail": {"error": f"timeout after {TIMEOUT_S}s "
+                                     "(device unavailable or compile hang)"},
+            }
+        ),
+        flush=True,
+    )
+    os._exit(2)
 
 
 def fallback_scene():
@@ -62,6 +81,9 @@ def fallback_scene():
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(TIMEOUT_S)
+
     import jax
 
     from mcpt_tpu.render.renderer import Renderer

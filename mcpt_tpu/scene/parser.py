@@ -751,6 +751,16 @@ def _read_emitter(ctx, node):
             raise ValueError("envmap emitter without filename")
         pixels = read_image_linear(os.path.join(ctx.dir, fn))
         scale = _read_float(ctx, node, ("scale",), 1.0)
+        # downscale to ~1 texel per output pixel at the camera fov, like
+        # the reference (width_max = width * 360 / fov_x, parser.cpp:1402)
+        cam = ctx.config.camera
+        width_max = int(cam.width * 360.0 / max(cam.fov_x, 1.0))
+        h, w = pixels.shape[:2]
+        if w > width_max > 0:
+            f = max(w // width_max, 1)
+            pixels = pixels[: h // f * f, : w // f * f].reshape(
+                h // f, f, w // f, f, -1
+            ).mean((1, 3))
         info.etype = EmitterType.ENVMAP
         info.id_texture = ctx.tex.add_bitmap(pixels * scale)
         info.to_world = _read_transform(ctx, node.find("transform"))

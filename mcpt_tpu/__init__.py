@@ -22,6 +22,14 @@ __version__ = "0.1.0"
 _LAZY = {
     "Renderer": ("mcpt_tpu.render.renderer", "Renderer"),
     "load_config": ("mcpt_tpu.scene.parser", "load_config"),
+    "compile_scene": ("mcpt_tpu.scene.compile", "compile_scene"),
+    "RendererConfig": ("mcpt_tpu.scene.ir", "RendererConfig"),
+    "make_mesh": ("mcpt_tpu.parallel.shard", "make_mesh"),
+    "render_film_sharded": ("mcpt_tpu.parallel.shard", "render_film_sharded"),
+    "make_train_step": ("mcpt_tpu.parallel.shard", "make_train_step"),
+    "write_png": ("mcpt_tpu.utils.image", "write_png"),
+    "write_exr": ("mcpt_tpu.utils.image", "write_exr"),
+    "read_exr": ("mcpt_tpu.utils.image", "read_exr"),
 }
 
 

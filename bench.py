@@ -100,12 +100,16 @@ def main():
         scene_name = "cornell-box-builtin"
 
     r = Renderer(config)
-    tile = 1 << 16
-    # warmup/compile with a tiny run
-    r.render(spp=2, tile=tile, spp_chunk=2)
+    # 16k-lane tiles + 8-spp chunks: short dispatches (device watchdog)
+    # and a single compiled program shape shared with scripts/tpu_probe.py
+    tile = 1 << 14
+    spp_chunk = 8
+    # warmup with the SAME (spp_chunk, spp_total) program so the timed
+    # run never compiles
+    r.render(spp=SPP, tile=tile, spp_chunk=spp_chunk)
 
     t0 = time.time()
-    img = r.render(spp=SPP, tile=tile, spp_chunk=2)
+    img = r.render(spp=SPP, tile=tile, spp_chunk=spp_chunk, frame_base=1)
     jax.block_until_ready(img)
     dt = time.time() - t0
 

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 256
-TRI_CHUNK = 512
+RAY_BLOCK = 1024
+TRI_CHUNK = 128
 
 
 def _sweep_kernel(rays_ref, tris_ref, t_ref, prim_ref, v_ref, w_ref,
@@ -83,16 +83,24 @@ def _sweep_kernel(rays_ref, tris_ref, t_ref, prim_ref, v_ref, w_ref,
         if any_hit:
             hit = hit & (opq > 0.5)
 
+        # argmin + attribute select without gathers (Mosaic-lowerable):
+        # min-reduce t, recover the column by a masked iota min, then
+        # one-hot select the attributes
         t_cand = jnp.where(hit, t, jnp.inf)
-        k = jnp.argmin(t_cand, axis=1, keepdims=True)        # [R, 1]
-        tk = jnp.take_along_axis(t_cand, k, axis=1)          # [R, 1]
+        tk = jnp.min(t_cand, axis=1, keepdims=True)          # [R, 1]
         take = jnp.isfinite(tk) & (tk < t_best)
-        vk = jnp.take_along_axis(v, k, axis=1)
-        wk = jnp.take_along_axis(w, k, axis=1)
-        detk = jnp.take_along_axis(det, k, axis=1)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        big = jnp.int32(2**30)
+        k = jnp.min(
+            jnp.where(t_cand == tk, iota_c, big), axis=1, keepdims=True
+        )
+        one_hot = iota_c == k
+        vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1, keepdims=True)
+        wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1, keepdims=True)
+        detk = jnp.sum(jnp.where(one_hot, det, 0.0), axis=1, keepdims=True)
         return (
             jnp.where(take, tk, t_best),
-            jnp.where(take, ci * chunk + k.astype(jnp.int32), prim_best),
+            jnp.where(take, ci * chunk + k, prim_best),
             jnp.where(take, vk, v_best),
             jnp.where(take, wk, w_best),
             jnp.where(take, (detk < 0).astype(jnp.float32), neg_best),
@@ -103,11 +111,11 @@ def _sweep_kernel(rays_ref, tris_ref, t_ref, prim_ref, v_ref, w_ref,
     carry = jax.lax.fori_loop(0, n_chunks, body, carry)
     t_best, prim_best, v_best, w_best, neg_best, valid = carry
 
-    t_ref[0, :] = t_best[:, 0]
-    prim_ref[0, :] = prim_best[:, 0]
-    v_ref[0, :] = v_best[:, 0]
-    w_ref[0, :] = w_best[:, 0]
-    flags_ref[0, :] = neg_best[:, 0] + 2.0 * valid[:, 0]
+    t_ref[0] = t_best
+    prim_ref[0] = prim_best
+    v_ref[0] = v_best
+    w_ref[0] = w_best
+    flags_ref[0] = neg_best + 2.0 * valid
 
 
 @functools.partial(
@@ -126,14 +134,16 @@ def dense_sweep(rays, tris_t, any_hit: bool = False, interpret: bool = False):
     kernel = functools.partial(
         _sweep_kernel, n_chunks=n_chunks, chunk=chunk, any_hit=any_hit
     )
+    # outputs are [G, R, 1] so every block dim equals the array dim
+    # (TPU lowering requires (8,128)-divisible or full-dim blocks)
     out_shape = [
-        jax.ShapeDtypeStruct((g, r), jnp.float32),   # t
-        jax.ShapeDtypeStruct((g, r), jnp.int32),     # prim
-        jax.ShapeDtypeStruct((g, r), jnp.float32),   # v
-        jax.ShapeDtypeStruct((g, r), jnp.float32),   # w
-        jax.ShapeDtypeStruct((g, r), jnp.float32),   # flags
+        jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # t
+        jax.ShapeDtypeStruct((g, r, 1), jnp.int32),     # prim
+        jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # v
+        jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # w
+        jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # flags
     ]
-    out_spec = pl.BlockSpec((1, r), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((1, r, 1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

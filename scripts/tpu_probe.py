@@ -16,7 +16,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = {
     "warmup": (
-        60,
+        300,
         """
 import time, jax, jax.numpy as jnp
 t0=time.time(); print('devices', jax.devices(), flush=True)
@@ -101,11 +101,54 @@ cfg = load_config('/root/reference/resources/scene/cornell-box/scene_v0.6.xml')
 cfg.camera.width = cfg.camera.height = 128
 cfg.integrator.depth_max = 8
 r = Renderer(cfg)
-t0=time.time(); img = r.render(spp=2, tile=128*128, spp_chunk=2); print('compile+2spp', time.time()-t0, flush=True)
-t0=time.time(); img = r.render(spp=8, tile=128*128, spp_chunk=2); jax.block_until_ready(img)
-dt=time.time()-t0
-print(f'cornell 128x128 @8spp: {dt:.2f}s  {128*128*8/dt/1e6:.3f} Mpaths/s', flush=True)
+t0=time.time(); img = r.render(spp=8, tile=128*128, spp_chunk=8); print('compile+8spp', time.time()-t0, flush=True)
+for trial in range(3):
+    t0=time.time(); img = r.render(spp=8, tile=128*128, spp_chunk=8, frame_base=trial+1); jax.block_until_ready(img)
+    dt=time.time()-t0
+    print(f'cornell 128x128 @8spp warm: {dt:.3f}s  {128*128*8/dt/1e6:.3f} Mpaths/s', flush=True)
 print('mean', np.asarray(img).mean(axis=(0,1)), flush=True)
+""",
+    ),
+    "breakdown": (
+        560,
+        """
+import time, numpy as np, jax, jax.numpy as jnp
+from mcpt_tpu.scene.parser import load_config
+from mcpt_tpu.scene.compile import compile_scene
+from mcpt_tpu.render.camera import make_camera, generate_rays
+from mcpt_tpu.render.renderer import _freeze
+from mcpt_tpu.integrators import path as P
+from mcpt_tpu.ops import rng
+from mcpt_tpu.ops.traversal import intersect_closest, intersect_any
+
+cfg = load_config('/root/reference/resources/scene/cornell-box/scene_v0.6.xml')
+cfg.camera.width = cfg.camera.height = 128
+cfg.integrator.depth_max = 8
+scene = compile_scene(cfg)
+camera = make_camera(cfg.camera)
+integ = _freeze(cfg.integrator)
+idx = jnp.arange(128*128, dtype=jnp.int32)
+o, d = generate_rays(camera, idx, 0.5, 0.5)
+seed = rng.pixel_seed(idx, 0)
+
+def timeit(name, f, *args, reps=10):
+    out = f(*args); jax.block_until_ready(out)
+    t0=time.time()
+    for _ in range(reps): out = f(*args)
+    jax.block_until_ready(out)
+    print(f'{name}: {(time.time()-t0)/reps*1e3:.2f} ms', flush=True)
+
+timeit('trace', jax.jit(lambda o, d: intersect_closest(scene.geom, o, d).t), o, d)
+timeit('trace+interp', jax.jit(lambda o, d: P.interpolate_hit(scene, intersect_closest(scene.geom, o, d), o, d).position), o, d)
+ghit = intersect_closest(scene.geom, o, d)
+hit = P.interpolate_hit(scene, ghit, o, d)
+alive = hit.valid
+xi = rng.random_floats(seed, P.nee_draw_count(scene))[1]
+timeit('nee', jax.jit(lambda: P._direct_lighting(scene, hit, -d, alive, xi)))
+import mcpt_tpu.models.bsdf as B
+xib = rng.random_floats(seed, B.N_SAMPLE_DRAWS)[1]
+timeit('bsdf_sample', jax.jit(lambda: B.bsdf_sample(scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id, -d, hit.normal, hit.tangent, hit.bitangent, hit.inside, hit.uv, xib, kc=(scene.brdf_avg, scene.albedo_avg))[1]))
+timeit('shade 1spp', jax.jit(lambda o, d, s: P.shade(scene, integ, o, d, s)[0]), o, d, seed)
 """,
     ),
     "bench": (1600, None),  # runs bench.py itself

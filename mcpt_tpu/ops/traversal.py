@@ -430,18 +430,13 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
 
 
 def _use_pallas_dense() -> bool:
-    """Pallas dense sweep on real TPU backends (or forced for tests)."""
+    """Pallas dense sweep is OPT-IN (MCPT_PALLAS_DENSE=1): the axon
+    remote Mosaic compiler hangs >25 min on this kernel (round-1
+    measurement), so auto-routing would stall production renders.  The
+    kernel itself is correct (interpret-mode equivalence test)."""
     import os
 
-    flag = os.environ.get("MCPT_PALLAS_DENSE")
-    if flag is not None:
-        return flag == "1"
-    try:
-        import jax
-
-        return jax.default_backend() not in ("cpu", "gpu")
-    except Exception:  # noqa: BLE001
-        return False
+    return os.environ.get("MCPT_PALLAS_DENSE") == "1"
 
 
 def _intersect_dense_pallas(geom, o, d, t_min, t_max, any_hit, interpret=False):

@@ -365,14 +365,16 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
         rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
-        take_em = alive & em & (cos_prime >= EPSILON_FLOAT)
+        # back faces absorb BEFORE emitter radiance is added — one-sided
+        # lights emit from the front only (ShadePath order, path.cpp:99-124)
+        backface2 = (
+            hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
+        )
+        take_em = alive & em & ~backface2 & (cos_prime >= EPSILON_FLOAT)
         L = L + jnp.where(take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0)
         alive = alive & ~em
 
-        backface = (
-            hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
-        )
-        alive = alive & ~backface
+        alive = alive & ~backface2
 
         # down-weight the surviving camera continuation against the
         # area-measure connection strategies that can also construct the

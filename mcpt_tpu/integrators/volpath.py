@@ -364,15 +364,15 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
         rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
-        take_em = surf & emitter & (cos_prime >= EPSILON_FLOAT)
+        backface2 = (
+            hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
+        )
+        take_em = surf & emitter & ~backface2 & (cos_prime >= EPSILON_FLOAT)
         L = L + jnp.where(take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0)
         alive = alive & (scattered2 | ~emitter)
 
         # --- one-sided backface absorbs
-        backface = (
-            hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
-        )
-        alive = alive & (scattered2 | ~backface)
+        alive = alive & (scattered2 | ~backface2)
 
         return (
             dep + 1, L, beta, wi, hit2, pos_m2, scattered2, cur_mid2, pdf_mis,

@@ -68,9 +68,12 @@ class IntegratorInfo:
     depth_rr: int = 5
     pdf_rr: float = 0.95
     hide_emitters: bool = False
-    # extension over the reference: per-sample clamp is configurable
-    # (csrt hard-codes clamp-to-1 at renderer.cpp:77-79; SURVEY §7.4)
-    sample_clamp: float = 1.0    # <= 0 disables
+    # extension over the reference: per-sample clamp is configurable.
+    # csrt hard-codes clamp-to-1 (renderer.cpp:77-79), which measured
+    # ~40% energy loss vs the Tungsten ground truth on cornell — the
+    # default here is OFF (unbiased); set 1.0 for reference-compat
+    # firefly suppression (SURVEY §7.4).
+    sample_clamp: float = 0.0    # <= 0 disables
 
 
 @dataclasses.dataclass

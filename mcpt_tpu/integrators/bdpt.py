@@ -57,7 +57,7 @@ from mcpt_tpu.ops.math import (
     mis_weight,
     normalize,
 )
-from mcpt_tpu.ops.traversal import intersect_any, intersect_closest
+from mcpt_tpu.ops.scene_intersect import scene_any, scene_closest
 from mcpt_tpu.ops.warps import sample_hemisphere_cosine
 from mcpt_tpu.ops.math import build_onb, to_world
 from mcpt_tpu.scene.compile import SceneData
@@ -108,8 +108,8 @@ def _light_subpath(scene: SceneData, integ, seed, n):
     prev_pdf_dir = pdf_dir0
 
     for k in range(K_LIGHT):
-        ghit = intersect_closest(
-            scene.geom, prev_pos, prev_dir,
+        ghit = scene_closest(
+            scene, prev_pos, prev_dir,
             t_max=jnp.where(prev_valid, MAX_FLOAT, 0.0),
         )
         hit = interpolate_hit(scene, ghit, prev_pos, prev_dir)
@@ -213,8 +213,8 @@ def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
 
     cos_prime = jnp.abs(dot(dir_lc, vert.normal))
     geo_ok = vert.valid & alive & (cos_prime >= EPSILON_FLOAT)
-    occluded = intersect_any(
-        scene.geom,
+    occluded = scene_any(
+        scene,
         vert.position,
         dir_lc,
         t_min=EPSILON_DISTANCE,
@@ -250,7 +250,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     connections (ShadeIterately, bdpt.cpp:159-313)."""
     n = o.shape[0]
 
-    ghit = intersect_closest(scene.geom, o, d)
+    ghit = scene_closest(scene, o, d)
     hit = interpolate_hit(scene, ghit, o, d)
     hit, seed = apply_opacity(scene, hit, seed)
 
@@ -339,8 +339,8 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
 
         o2 = hit.position
         d2 = -wi
-        ghit2 = intersect_closest(
-            scene.geom, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+        ghit2 = scene_closest(
+            scene, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, o2, d2)
         hit2, seed = apply_opacity(scene, hit2, seed)

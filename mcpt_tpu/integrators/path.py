@@ -43,7 +43,8 @@ from mcpt_tpu.ops.math import (
     mis_weight,
     normalize,
 )
-from mcpt_tpu.ops.traversal import intersect_any, intersect_closest
+from mcpt_tpu.ops.quadric import quadric_attrs, sample_quadric_row
+from mcpt_tpu.ops.scene_intersect import scene_any, scene_closest
 from mcpt_tpu.ops.warps import sample_triangle_uniform, searchsorted_cdf
 from mcpt_tpu.scene.compile import SceneData
 
@@ -77,6 +78,27 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     bitangent = normalize(uf * g.bt0[p] + vf * g.bt1[p] + wf * g.bt2[p])
     uv = uf * g.uv0[p] + vf * g.uv1[p] + wf * g.uv2[p]
     inst = g.inst_id[p]
+
+    # clamp t for the position so missed lanes (t = MAX_FLOAT) stay
+    # finite — garbage leaks NaNs into reverse-mode AD otherwise.
+    t_pos = jnp.minimum(ghit.t, 1e8)
+    position = o + t_pos[..., None] * d
+
+    # analytic quadric lanes override the interpolated frame with exact
+    # attributes (csrt sphere.cpp:47-85 / disk.cpp / cylinder.cpp);
+    # the shared bump + inside-flip pipeline below applies to both.
+    quad_idx = getattr(ghit, "quad", None)
+    if scene.quad_kinds and quad_idx is not None:
+        qn, qt, qb, quv, qinst = quadric_attrs(
+            scene.quad, scene.quad_kinds, quad_idx, position
+        )
+        is_q = quad_idx >= 0
+        mq = is_q[..., None]
+        normal = jnp.where(mq, qn, normal)
+        tangent = jnp.where(mq, qt, tangent)
+        bitangent = jnp.where(mq, qb, bitangent)
+        uv = jnp.where(mq, quv, uv)
+        inst = jnp.where(is_q, qinst, inst)
     bsdf_id = scene.map_inst_bsdf[jnp.maximum(inst, 0)]
 
     # bump mapping perturbs the shading frame BEFORE the inside flip
@@ -105,13 +127,10 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     flip = ghit.inside[..., None]
     normal = jnp.where(flip, -normal, normal)
     bitangent = jnp.where(flip, -bitangent, bitangent)
-    # clamp t for the position so missed lanes (t = MAX_FLOAT) stay finite
-    # — garbage on masked lanes leaks NaNs into reverse-mode AD otherwise.
-    t_pos = jnp.minimum(ghit.t, 1e8)
     return HitAttrs(
         valid=ghit.valid,
         t=ghit.t,
-        position=o + t_pos[..., None] * d,
+        position=position,
         normal=normal,
         tangent=tangent,
         bitangent=bitangent,
@@ -153,6 +172,17 @@ def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
         w[..., None] * em.n0[cell] + uf * em.n1[cell] + vf * em.n2[cell]
     )
     uv = w[..., None] * em.uv0[cell] + uf * em.uv1[cell] + vf * em.uv2[cell]
+    # emissive analytic quadrics own one CDF cell each; their uniform
+    # surface sample replaces the (zeroed) triangle row when selected
+    for cell_idx, quad_row, kind in scene.em_quad_cells:
+        qpos, qnrm, quv = sample_quadric_row(
+            scene.quad, quad_row, kind, xi_a, xi_b
+        )
+        m = cell == cell_idx
+        mf = m[..., None]
+        pos = jnp.where(mf, qpos, pos)
+        nrm = jnp.where(mf, qnrm, nrm)
+        uv = jnp.where(mf, quv, uv)
     radiance_tid = scene.bsdf.radiance_tid[em.bsdf_id[cell]]
     radiance = textures.eval_color(scene.tex, jnp.maximum(radiance_tid, 0), uv)
     return pos, nrm, radiance, em.pdf_area[cell]
@@ -200,8 +230,8 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
     geo_ok = (cos_prime >= EPSILON_FLOAT) & (cos_surf >= EPSILON_FLOAT) & alive
 
     # shadow ray from the light point toward the surface (path.cpp:199-203)
-    occluded = intersect_any(
-        scene.geom,
+    occluded = scene_any(
+        scene,
         pos_l,
         wi,
         t_min=EPSILON_DISTANCE,
@@ -225,8 +255,8 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
 
 def _shadow_ok(scene, hit, wi, dist, geo_ok):
     """Surface-origin shadow ray along -wi (path.cpp:151-156)."""
-    occluded = intersect_any(
-        scene.geom,
+    occluded = scene_any(
+        scene,
         hit.position,
         -wi,
         t_min=EPSILON_DISTANCE,
@@ -332,7 +362,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     n = o.shape[0]
 
     # --- primary hit (path.cpp:16-55)
-    ghit = intersect_closest(scene.geom, o, d)
+    ghit = scene_closest(scene, o, d)
     hit = interpolate_hit(scene, ghit, o, d)
     hit, seed = apply_opacity(scene, hit, seed)
 
@@ -421,8 +451,8 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- 4. continuation trace (ray dir = -wi, path.cpp:77-78)
         o2 = hit.position
         d2 = -wi
-        ghit2 = intersect_closest(
-            scene.geom, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+        ghit2 = scene_closest(
+            scene, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, o2, d2)
         hit2, seed = apply_opacity(scene, hit2, seed)

@@ -44,7 +44,7 @@ from mcpt_tpu.ops.math import (
     dot,
     mis_weight,
 )
-from mcpt_tpu.ops.traversal import intersect_any, intersect_closest
+from mcpt_tpu.ops.scene_intersect import scene_any, scene_closest
 from mcpt_tpu.scene.compile import SceneData
 from mcpt_tpu.scene.ir import EmitterType
 
@@ -115,8 +115,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         wi = d_vec / dist[..., None]
         cos_prime = dot(wi, n_l)
         geo_ok = (cos_prime >= EPSILON_FLOAT) & surface_cos_ok(wi) & alive
-        occluded = intersect_any(
-            scene.geom,
+        occluded = scene_any(
+            scene,
             pos_l,
             wi,
             t_min=EPSILON_DISTANCE,
@@ -159,8 +159,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         else:
             continue
         geo_ok = valid & alive & surface_cos_ok(wi)
-        occluded = intersect_any(
-            scene.geom,
+        occluded = scene_any(
+            scene,
             origin,
             -wi,
             t_min=EPSILON_DISTANCE,
@@ -184,8 +184,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
                 scene.emitters, scene.env_row, origin, xi0, xi1
             )
         geo_ok = valid & alive & surface_cos_ok(wi)
-        occluded = intersect_any(
-            scene.geom,
+        occluded = scene_any(
+            scene,
             origin,
             -wi,
             t_min=EPSILON_DISTANCE,
@@ -208,7 +208,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     """Shade a ray batch through media; returns (L [N,3], seed)."""
     n = o.shape[0]
 
-    ghit = intersect_closest(scene.geom, o, d)
+    ghit = scene_closest(scene, o, d)
     hit = interpolate_hit(scene, ghit, o, d)
     hit, seed = apply_opacity(scene, hit, seed)
 
@@ -321,8 +321,8 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- 4. trace the continuation segment
         origin = jnp.where(scattering[..., None], pos_m, hit.position)
         d2 = -wi
-        ghit2 = intersect_closest(
-            scene.geom, origin, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+        ghit2 = scene_closest(
+            scene, origin, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
         )
         hit2 = interpolate_hit(scene, ghit2, origin, d2)
         hit2, seed = apply_opacity(scene, hit2, seed)

@@ -31,9 +31,20 @@ from mcpt_tpu.models.emitter import (
 )
 from mcpt_tpu.models.medium import MediumTables, build_medium_tables
 from mcpt_tpu.models.texture import TextureTables
+from mcpt_tpu.ops.quadric import (
+    KIND_CYLINDER,
+    KIND_DISK,
+    KIND_SPHERE,
+    QuadricTables,
+    build_quadric_tables,
+    empty_quadrics,
+)
 from mcpt_tpu.scene.geometry import Geometry, commit_geometry
 from mcpt_tpu.scene.ir import BsdfType, EmitterType, RendererConfig
 from mcpt_tpu.scene.shapes import instance_triangles, triangle_areas
+
+#: analytic primitives get their own table; everything else tessellates
+QUADRIC_SHAPES = ("sphere", "disk", "cylinder")
 
 
 @flax.struct.dataclass
@@ -74,6 +85,7 @@ class SceneData:
     media: MediumTables              # participating media (SoA rows)
     map_inst_medium_int: jnp.ndarray  # [I] int32 (-1 = vacuum)
     map_inst_medium_ext: jnp.ndarray  # [I] int32
+    quad: QuadricTables              # analytic sphere/disk/cylinder rows
     brdf_avg: jnp.ndarray            # [128, 128] Kulla-Conty E(mu, alpha)
     albedo_avg: jnp.ndarray          # [128]
     # static facts
@@ -89,14 +101,90 @@ class SceneData:
     # static feature flags: skip the texture work when no BSDF uses it
     has_bump: bool = flax.struct.field(pytree_node=False, default=False)
     has_opacity: bool = flax.struct.field(pytree_node=False, default=False)
+    # ((kind, opaque), ...) per quadric row — () = no analytic prims
+    quad_kinds: tuple = flax.struct.field(pytree_node=False, default=())
+    # ((cdf_cell, quad_row, kind), ...) for emissive quadrics
+    em_quad_cells: tuple = flax.struct.field(pytree_node=False, default=())
+
+
+def _quadric_row(info):
+    """Fold an analytic instance into a quadric-table row
+    (local frames per ops/quadric.py; csrt {sphere,disk,cylinder}.hpp).
+    Returns (row_dict, kind, world_area).  Areas are exact for
+    rotation + uniform scale; under non-uniform scale the local-uniform
+    sampler (and hence 1/area pdf) is approximate — the same
+    approximation the reference makes (SampleSphere sphere.cpp:90-106)."""
+    m = np.asarray(info.to_world, np.float64)
+    if info.shape == "sphere":
+        f = np.eye(4)
+        f[:3, 3] = np.asarray(info.center, np.float64)
+        kind = KIND_SPHERE
+        params = (float(info.radius), 0.0)
+        tw = m @ f
+        s = np.abs(np.linalg.det(tw[:3, :3])) ** (1.0 / 3.0)
+        area = 4.0 * np.pi * (info.radius * s) ** 2
+    elif info.shape == "disk":
+        kind = KIND_DISK
+        params = (0.5, 0.0)
+        tw = m
+        # affine image of a disk is an ellipse: exact area scale is the
+        # cross product of the in-plane column images
+        j = np.linalg.norm(np.cross(tw[:3, 0], tw[:3, 1]))
+        area = np.pi * 0.25 * j
+    else:  # cylinder — frame p0/p1 into local z in [0, length]
+        p0 = np.asarray(info.p0, np.float64)
+        p1 = np.asarray(info.p1, np.float64)
+        axis = p1 - p0
+        length = float(np.linalg.norm(axis))
+        axis = axis / max(length, 1e-12)
+        helper = (
+            np.array([0.0, 1.0, 0.0])
+            if abs(axis[0]) > 0.9
+            else np.array([1.0, 0.0, 0.0])
+        )
+        t = np.cross(helper, axis)
+        t /= np.linalg.norm(t)
+        b = np.cross(axis, t)
+        f = np.eye(4)
+        f[:3, 0], f[:3, 1], f[:3, 2], f[:3, 3] = t, b, axis, p0
+        kind = KIND_CYLINDER
+        params = (float(info.radius), length)
+        tw = m @ f
+        s_axis = np.linalg.norm(tw[:3, 2])
+        s_perp = np.sqrt(
+            np.linalg.norm(tw[:3, 0]) * np.linalg.norm(tw[:3, 1])
+        )
+        area = 2.0 * np.pi * info.radius * length * s_axis * s_perp
+    row = dict(
+        kind=kind,
+        to_world=tw.astype(np.float32),
+        params=params,
+        inst_id=-1,  # caller fills
+        flip=info.flip_normals,
+    )
+    return row, kind, max(float(area), 1e-20)
 
 
 def compile_scene(config: RendererConfig) -> SceneData:
-    # --- geometry: every instance -> world-space triangle soup
+    # --- geometry: mesh-like instances -> world-space triangle soup;
+    # analytic sphere/disk/cylinder -> quadric rows (csrt keeps them as
+    # distinct primitive kinds in the BLAS, primitive.cpp:24-58)
     all_pos, all_nrm, all_uv, all_tan, all_inst = [], [], [], [], []
     inst_tri_ranges = []
+    quad_rows, quad_kinds = [], []
+    inst_quad_row = {}   # inst_id -> quadric row index
+    quad_area = {}       # inst_id -> world-space area
     cursor = 0
     for inst_id, info in enumerate(config.instances):
+        if info.shape in QUADRIC_SHAPES:
+            row, kind, area = _quadric_row(info)
+            row["inst_id"] = inst_id
+            inst_quad_row[inst_id] = len(quad_rows)
+            quad_area[inst_id] = area
+            quad_rows.append(row)
+            quad_kinds.append((kind, info.id_bsdf >= 0))
+            inst_tri_ranges.append((cursor, cursor))
+            continue
         pos, nrm, uv, tan = instance_triangles(info)
         f = pos.shape[0]
         all_pos.append(pos)
@@ -115,6 +203,19 @@ def compile_scene(config: RendererConfig) -> SceneData:
         inst_tri_ranges.append((cursor, cursor + f))
         cursor += f
 
+    if cursor == 0:
+        # all-quadric scene (e.g. mercury): the triangle structures want
+        # >= 1 row — a degenerate sliver at the origin can never be hit
+        all_pos.append(np.zeros((1, 3, 3), np.float32))
+        all_nrm.append(
+            np.broadcast_to(
+                np.array([0, 0, 1], np.float32), (1, 3, 3)
+            ).copy()
+        )
+        all_uv.append(np.zeros((1, 3, 2), np.float32))
+        all_tan.append(None)
+        all_inst.append(np.full(1, -1, np.int32))
+
     tri_pos = np.concatenate(all_pos, axis=0)
     tri_nrm = np.concatenate(all_nrm, axis=0)
     tri_uv = np.concatenate(all_uv, axis=0)
@@ -129,7 +230,9 @@ def compile_scene(config: RendererConfig) -> SceneData:
     inst_bsdf_arr = np.array(
         [i.id_bsdf for i in config.instances] or [0], np.int32
     )
-    tri_opaque = inst_bsdf_arr[tri_inst] >= 0
+    tri_opaque = (inst_bsdf_arr[np.maximum(tri_inst, 0)] >= 0) & (
+        tri_inst >= 0
+    )
 
     geom = commit_geometry(
         tri_pos, tri_nrm, tri_uv, tri_tan, tri_inst, tri_opaque=tri_opaque
@@ -162,21 +265,42 @@ def compile_scene(config: RendererConfig) -> SceneData:
     light_ids = {i for i, _, _ in lights}
     n_non_emitter = max(n_inst - len(lights), 1)
     map_inst_area_pdf = np.zeros(max(n_inst, 1), np.float32)
+    def _inst_area(inst_id):
+        if inst_id in quad_area:
+            return quad_area[inst_id]
+        lo, hi = inst_tri_ranges[inst_id]
+        return max(float(triangle_areas(tri_pos[lo:hi]).sum()), 1e-20)
+
     for inst_id in range(n_inst):
-        lo, hi = inst_tri_ranges[inst_id]
-        area_i = max(float(triangle_areas(tri_pos[lo:hi]).sum()), 1e-20)
         if inst_id not in light_ids:
-            map_inst_area_pdf[inst_id] = 1.0 / (area_i * n_non_emitter)
+            map_inst_area_pdf[inst_id] = 1.0 / (
+                _inst_area(inst_id) * n_non_emitter
+            )
+    em_quad_cells = []
     for inst_id, weight, bsdf_id in lights:
-        lo, hi = inst_tri_ranges[inst_id]
-        areas = triangle_areas(tri_pos[lo:hi])
-        area_l = max(float(areas.sum()), 1e-20)
+        area_l = _inst_area(inst_id)
         p_light = weight / sum_w
         map_inst_light_pdf[inst_id] = p_light / area_l
-        for k in range(lo, hi):
-            em_rows.append(
-                (k, p_light * areas[k - lo] / area_l, p_light / area_l, bsdf_id)
+        if inst_id in quad_area:
+            # one CDF cell for the whole analytic shape; the sampler
+            # (path._sample_area_light) routes it to sample_quadric_row
+            row = inst_quad_row[inst_id]
+            em_quad_cells.append(
+                (len(em_rows), row, quad_rows[row]["kind"])
             )
+            em_rows.append((None, p_light, p_light / area_l, bsdf_id))
+        else:
+            lo, hi = inst_tri_ranges[inst_id]
+            areas = triangle_areas(tri_pos[lo:hi])
+            for k in range(lo, hi):
+                em_rows.append(
+                    (
+                        k,
+                        p_light * areas[k - lo] / area_l,
+                        p_light / area_l,
+                        bsdf_id,
+                    )
+                )
 
     e = max(len(em_rows), 1)
     em_p = np.zeros((e, 3, 3), np.float32)
@@ -186,9 +310,10 @@ def compile_scene(config: RendererConfig) -> SceneData:
     em_pdfa = np.zeros(e, np.float32)
     em_bsdf = np.zeros(e, np.int32)
     for row, (k, prob, pdfa, bsdf_id) in enumerate(em_rows):
-        em_p[row] = tri_pos[k]
-        em_n[row] = tri_nrm[k]
-        em_uv[row] = tri_uv[k]
+        if k is not None:  # quadric light cells keep zero geometry rows
+            em_p[row] = tri_pos[k]
+            em_n[row] = tri_nrm[k]
+            em_uv[row] = tri_uv[k]
         em_prob[row] = prob
         em_pdfa[row] = pdfa
         em_bsdf[row] = bsdf_id
@@ -259,6 +384,7 @@ def compile_scene(config: RendererConfig) -> SceneData:
         media=build_medium_tables(config.media),
         map_inst_medium_int=jnp.asarray(map_med_int),
         map_inst_medium_ext=jnp.asarray(map_med_ext),
+        quad=build_quadric_tables(quad_rows) if quad_rows else empty_quadrics(),
         brdf_avg=jnp.asarray(brdf_avg),
         albedo_avg=jnp.asarray(albedo_avg),
         n_emissive=len(em_rows),
@@ -269,6 +395,8 @@ def compile_scene(config: RendererConfig) -> SceneData:
         sun_row=sun_row,
         has_bump=any(b.id_bump_map >= 0 for b in config.bsdfs),
         has_opacity=any(b.id_opacity >= 0 for b in config.bsdfs),
+        quad_kinds=tuple(quad_kinds),
+        em_quad_cells=tuple(em_quad_cells),
     )
 
 

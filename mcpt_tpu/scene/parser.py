@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import sys
+import warnings
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -358,7 +359,13 @@ def _read_texture(ctx, node, scale, default) -> int:
                 raise ValueError("bitmap texture without filename")
             gamma = _read_float(ctx, node, ("gamma",), 0.0)
             path = os.path.join(ctx.dir, _sub(ctx, fn.get("value")))
-            pixels = read_image_linear(path, gamma if gamma else 2.2)
+            if not os.path.exists(path):
+                # warn-skip like missing meshes: stand in a mid gray so
+                # the rest of the scene still parses and renders
+                warnings.warn(f"bitmap not found, using 0.5 gray: {path}")
+                pixels = np.full((2, 2, 3), 0.5, np.float32)
+            else:
+                pixels = read_image_linear(path, gamma if gamma else 2.2)
             uo = _read_float(ctx, node, ("uoffset",), 0.0)
             vo = _read_float(ctx, node, ("voffset",), 0.0)
             us = _read_float(ctx, node, ("uscale",), 1.0)

@@ -23,25 +23,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCENES = "/root/reference/resources/scene"
 RESULTS = "/root/reference/resources/results"
 
-# (name, scene xml, reference-own result png, tungsten png)
+# (name, scene xml, reference-own result png, tungsten png, tungsten exr)
 CASES = [
     ("cornell-box", "cornell-box/scene_v0.6.xml",
-     "cornell-box.png", "cornell-box/TungstenRender.png"),
+     "cornell-box.png", "cornell-box/TungstenRender.png",
+     "cornell-box/TungstenRender.exr"),
     ("rough-conductor", "matpreview/rough_conductor_isotropic.xml",
-     "rough-conductor-isotropic.png", None),
-    ("conductor", "matpreview/conductor.xml", "conductor.png", None),
-    ("dielectric", "matpreview/dielectric.xml", "dielectric.png", None),
+     "rough-conductor-isotropic.png", None, None),
+    ("conductor", "matpreview/conductor.xml", "conductor.png", None, None),
+    ("dielectric", "matpreview/dielectric.xml", "dielectric.png", None, None),
     ("rough-dielectric", "matpreview/rough_dielectric.xml",
-     "rough-dielectric.png", None),
+     "rough-dielectric.png", None, None),
     ("thin-dielectric", "matpreview/thin_dielectric.xml",
-     "thin-dielectric.png", None),
-    ("rough-plastic", "matpreview/rough_plastic.xml", "rough-plastic.png", None),
-    ("dragon", "dragon/scene.xml", "dragon.png", "dragon/TungstenRender.png"),
+     "thin-dielectric.png", None, None),
+    ("rough-plastic", "matpreview/rough_plastic.xml", "rough-plastic.png",
+     None, None),
+    ("material-testball", "material-testball/scene_v0.6.xml",
+     "material-testball.png", None, "material-testball/TungstenRender.exr"),
+    ("dragon", "dragon/scene.xml", "dragon.png", "dragon/TungstenRender.png",
+     "dragon/TungstenRender.exr"),
     ("mercury-rough-diffuse", "mercury/rough_diffuse.xml",
-     "mercury_rough-diffuse.png", None),
+     "mercury_rough-diffuse.png", None, None),
     ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml",
      "volumetric-caustic_isotropic.png",
-     "volumetric-caustic/TungstenRender.png"),
+     "volumetric-caustic/TungstenRender.png",
+     "volumetric-caustic/TungstenRender.exr"),
+    ("classroom", "classroom/scene_v0.6.xml", "classroom.png",
+     "classroom/TungstenRender.png", "classroom/TungstenRender.exr"),
+    ("dining-room", "dining-room/scene_v0.6.xml", "dining-room.png",
+     "dining-room/TungstenRender.png", "dining-room/TungstenRender.exr"),
 ]
 
 
@@ -71,16 +81,16 @@ def main():
 
     from mcpt_tpu.render.renderer import Renderer
     from mcpt_tpu.scene.parser import load_config
-    from mcpt_tpu.utils.image import read_png_linear, write_png
+    from mcpt_tpu.utils.image import read_exr, read_png_linear, write_png
 
     os.makedirs(args.out, exist_ok=True)
     rows = []
-    for name, xml, own_png, tungsten_png in CASES:
+    for name, xml, own_png, tungsten_png, tungsten_exr in CASES:
         if args.scene and args.scene != name:
             continue
         path = os.path.join(SCENES, xml)
         if not os.path.exists(path):
-            rows.append((name, "missing-scene", None, None, 0.0))
+            rows.append((name, "missing-scene", None, None, None, 0.0))
             continue
         try:
             cfg = load_config(path)
@@ -95,7 +105,7 @@ def main():
             dt = time.time() - t0
             write_png(os.path.join(args.out, f"{name}.png"), img)
 
-            own = t_err = None
+            own = t_err = exr_err = None
             own_path = os.path.join(RESULTS, own_png) if own_png else None
             if own_path and os.path.exists(own_path):
                 g = downsample(read_png_linear(own_path), h, w)
@@ -105,19 +115,30 @@ def main():
                 if os.path.exists(tp):
                     g = downsample(read_png_linear(tp), h, w)
                     t_err = rel_mse(img, g)
-            rows.append((name, "ok", own, t_err, dt))
-            print(f"[golden] {name}: own={own} tungsten={t_err} ({dt:.1f}s)",
-                  flush=True)
+            if tungsten_exr:
+                tp = os.path.join(SCENES, tungsten_exr)
+                if os.path.exists(tp):
+                    # linear-HDR ground truth: the real acceptance number
+                    g = downsample(read_exr(tp), h, w)
+                    exr_err = rel_mse(img, g)
+            rows.append((name, "ok", own, t_err, exr_err, dt))
+            print(
+                f"[golden] {name}: own={own} tungsten(png)={t_err} "
+                f"tungsten(exr)={exr_err} ({dt:.1f}s)",
+                flush=True,
+            )
         except Exception as e:  # noqa: BLE001 — report and continue
-            rows.append((name, f"error: {e}", None, None, 0.0))
+            rows.append((name, f"error: {e}", None, None, None, 0.0))
             print(f"[golden] {name}: ERROR {e}", flush=True)
 
-    print("\n| scene | status | relMSE vs reference | relMSE vs Tungsten | s |")
-    print("|---|---|---|---|---|")
-    for name, status, own, t_err, dt in rows:
+    print("\n| scene | status | relMSE vs reference | vs Tungsten png "
+          "| vs Tungsten exr | s |")
+    print("|---|---|---|---|---|---|")
+    for name, status, own, t_err, exr_err, dt in rows:
         o = f"{own:.3f}" if own is not None else "-"
         t = f"{t_err:.3f}" if t_err is not None else "-"
-        print(f"| {name} | {status} | {o} | {t} | {dt:.0f} |")
+        x = f"{exr_err:.3f}" if exr_err is not None else "-"
+        print(f"| {name} | {status} | {o} | {t} | {x} | {dt:.0f} |")
 
 
 if __name__ == "__main__":

@@ -227,6 +227,107 @@ def _intersect_dense(geom, o, d, t_min, t_max, any_hit: bool):
                    w=w_best, inside=in_best)
 
 
+def _intersect_march(geom, o, d, t_min, t_max, any_hit: bool):
+    """Leaf-march traversal for large scenes: per-lane nearest-chunk-
+    first processing with best-t pruning, fully vectorized — no stacks,
+    no block serialization.
+
+    The scene's Morton-sorted prims are pre-grouped into ~<=2048
+    coherent chunks with AABBs (geometry.march_*).  One dense
+    [rays x chunks] slab test yields every lane's candidate entry
+    distances; then a `while_loop` repeatedly takes each lane's nearest
+    unprocessed chunk (argmin — every lane advances independently every
+    iteration, unlike a packet traversal where a block serializes on the
+    union of its lanes' subtrees), sweeps that chunk's triangles, and
+    masks it off.  Nearest-first means a found hit prunes all farther
+    chunks, so iterations ~ the ray's depth complexity, not tree size.
+    Replaces csrt's per-thread stackful TLAS walk (tlas.cpp:13-76)."""
+    from mcpt_tpu.ops.intersect import intersect_aabb, safe_rcp
+
+    n = o.shape[0]
+    lm = geom.n_march_leaves
+    ls = geom.march_leaf
+    lane = jnp.arange(n)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    d_rcp = safe_rcp(d)
+    hit_c, t_enter = intersect_aabb(
+        o[:, None, :],
+        d_rcp[:, None, :],
+        geom.march_min[None, :, :],
+        geom.march_max[None, :, :],
+        t_min[:, None],
+        t_max[:, None],
+    )  # [N, Lm]
+    t_enter = jnp.where(hit_c, jnp.maximum(t_enter, 0.0), jnp.inf)
+
+    best0 = (
+        t_max,
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.bool_),
+    )
+
+    def cond(state):
+        t_enter, best = state
+        t_best = best[0]
+        done = best[5] if any_hit else jnp.zeros((n,), jnp.bool_)
+        return jnp.any(~done & (jnp.min(t_enter, axis=1) < t_best))
+
+    def body(state):
+        t_enter, best = state
+        t_best, prim_best, v_best, w_best, in_best, valid = best
+
+        li = jnp.argmin(t_enter, axis=1)                     # [N]
+        te = t_enter[lane, li]
+        active = te < t_best
+        if any_hit:
+            active = active & ~valid
+
+        rows = geom.march_tris[li]                           # [N, ls, 12]
+        hit, t, v, w, det_inv = intersect_triangle(
+            o[:, None, :],
+            d[:, None, :],
+            rows[..., 0:3],
+            rows[..., 3:6],
+            rows[..., 6:9],
+            t_min[:, None],
+            t_best[:, None],
+        )
+        if any_hit:
+            hit = hit & (rows[..., 9] > 0.5)
+        hit = hit & active[:, None]
+        t = jnp.where(hit, t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        tk = t[lane, k]
+        take = jnp.isfinite(tk) & (tk < t_best)
+
+        best = (
+            jnp.where(take, tk, t_best),
+            jnp.where(take, li * ls + k, prim_best),
+            jnp.where(take, v[lane, k], v_best),
+            jnp.where(take, w[lane, k], w_best),
+            jnp.where(take, det_inv[lane, k] < 0, in_best),
+            valid | take,
+        )
+        # mask the processed chunk (lanes already finished keep theirs
+        # masked-by-best-t anyway, but clearing is what guarantees the
+        # loop terminates)
+        t_enter = jnp.where(
+            (jnp.arange(lm)[None, :] == li[:, None]), jnp.inf, t_enter
+        )
+        return t_enter, best
+
+    _, best = lax.while_loop(cond, body, (t_enter, best0))
+    t_best, prim_best, v_best, w_best, in_best, valid = best
+    return GeomHit(valid=valid, t=t_best, prim=prim_best, v=v_best,
+                   w=w_best, inside=in_best)
+
+
 PACKET_BLOCK = 1024  # rays per packet (8 x 128 VPU tiles)
 
 
@@ -429,6 +530,15 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
                    w=w_best, inside=in_best)
 
 
+def _large_strategy() -> str:
+    """Large-scene (> DENSE_MAX_PRIMS) traversal: 'march' (default —
+    per-lane nearest-chunk march, see _intersect_march) or 'packet'
+    (MCPT_TRAVERSAL=packet, the block-stack traversal)."""
+    import os
+
+    return os.environ.get("MCPT_TRAVERSAL", "march")
+
+
 def _use_pallas_dense() -> bool:
     """Pallas dense sweep is OPT-IN (MCPT_PALLAS_DENSE=1): the axon
     remote Mosaic compiler hangs >25 min on this kernel (round-1
@@ -501,7 +611,9 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
         if _use_pallas_dense():
             return _intersect_dense_pallas(geom, o, d, t_min, t_max, False)
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
-    return _intersect_packet(geom, o, d, t_min, t_max, any_hit=False)
+    if _large_strategy() == "packet":
+        return _intersect_packet(geom, o, d, t_min, t_max, any_hit=False)
+    return _intersect_march(geom, o, d, t_min, t_max, any_hit=False)
 
 
 def intersect_any(geom, o, d, t_min=None, t_max=None):
@@ -518,7 +630,9 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
                 geom, o, d, t_min, t_max, True
             ).valid
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
-    return _intersect_packet(geom, o, d, t_min, t_max, any_hit=True).valid
+    if _large_strategy() == "packet":
+        return _intersect_packet(geom, o, d, t_min, t_max, any_hit=True).valid
+    return _intersect_march(geom, o, d, t_min, t_max, any_hit=True).valid
 
 
 def intersect_closest_brute(geom, o, d, t_min=None, t_max=None, chunk=512):

@@ -48,11 +48,20 @@ class Geometry:
     # leaf fetched by scalar index — [n_pad_leaves, leaf_size, 12] with
     # rows (p0.xyz, e1.xyz, e2.xyz, opaque, 0, 0)
     packed_tris: jnp.ndarray
+    # coarse Morton-chunk pack for the leaf-march traversal (large
+    # scenes): consecutive Morton-sorted prims grouped into chunks of
+    # `march_leaf`, with per-chunk AABBs — no tree, culling is a dense
+    # [rays x chunks] slab test (see ops/traversal._intersect_march)
+    march_tris: jnp.ndarray  # [Lm, march_leaf, 12]
+    march_min: jnp.ndarray   # [Lm, 3]
+    march_max: jnp.ndarray   # [Lm, 3]
     # static topology facts
     n_pad_leaves: int = flax.struct.field(pytree_node=False)
     leaf_size: int = flax.struct.field(pytree_node=False)
     depth: int = flax.struct.field(pytree_node=False)
     n_real_prims: int = flax.struct.field(pytree_node=False)
+    n_march_leaves: int = flax.struct.field(pytree_node=False, default=1)
+    march_leaf: int = flax.struct.field(pytree_node=False, default=1)
 
 
 def _gram_schmidt_frames(normals: np.ndarray, positions, texcoords):
@@ -139,7 +148,38 @@ def commit_geometry(
     packed[:, 3:6] = pos_s[:, 1] - pos_s[:, 0]
     packed[:, 6:9] = pos_s[:, 2] - pos_s[:, 0]
     packed[:, 9] = opaque_s.astype(np.float32)
+    flat_packed = packed
     packed = packed.reshape(bvh.n_pad_leaves, leaf_size, 12)
+
+    # --- coarse march pack: chunk size keeps the [rays x chunks] cull
+    # matrix small (<= ~2048 chunks) while chunks stay Morton-coherent
+    n_pad = pos_s.shape[0]
+    march_leaf = 64
+    while (n_pad + march_leaf - 1) // march_leaf > 2048:
+        march_leaf *= 2
+    n_march = (n_pad + march_leaf - 1) // march_leaf
+    pad_to = n_march * march_leaf
+    mt = np.zeros((pad_to, 12), np.float32)
+    mt[:n_pad] = flat_packed
+    march_tris = mt.reshape(n_march, march_leaf, 12)
+    # chunk AABBs over REAL prims only (padding rows are degenerate at 0)
+    pmin = np.full((pad_to, 3), np.inf, np.float32)
+    pmax = np.full((pad_to, 3), -np.inf, np.float32)
+    real = np.zeros(pad_to, np.bool_)
+    real[:n_pad] = bvh.order >= 0
+    v0 = mt[:, 0:3]
+    v1 = v0 + mt[:, 3:6]
+    v2 = v0 + mt[:, 6:9]
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    pmin[real] = tri_min[real]
+    pmax[real] = tri_max[real]
+    march_min = pmin.reshape(n_march, march_leaf, 3).min(axis=1)
+    march_max = pmax.reshape(n_march, march_leaf, 3).max(axis=1)
+    # all-padding chunks: collapse to a far-away point AABB (never hit)
+    empty = ~real.reshape(n_march, march_leaf).any(axis=1)
+    march_min[empty] = 3.0e37
+    march_max[empty] = 3.0e37
 
     return Geometry(
         p0=jnp.asarray(pos_s[:, 0]),
@@ -162,8 +202,13 @@ def commit_geometry(
         node_min=jnp.asarray(bvh.node_min),
         node_max=jnp.asarray(bvh.node_max),
         packed_tris=jnp.asarray(packed),
+        march_tris=jnp.asarray(march_tris),
+        march_min=jnp.asarray(march_min),
+        march_max=jnp.asarray(march_max),
         n_pad_leaves=bvh.n_pad_leaves,
         leaf_size=bvh.leaf_size,
         depth=bvh.depth,
         n_real_prims=p,
+        n_march_leaves=n_march,
+        march_leaf=march_leaf,
     )

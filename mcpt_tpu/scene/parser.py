@@ -347,11 +347,7 @@ def _read_texture(ctx, node, scale, default) -> int:
         if ttype == "checkerboard":
             c0 = _read_vec3(ctx, node, ("color0",), [0.4] * 3)
             c1 = _read_vec3(ctx, node, ("color1",), [0.2] * 3)
-            uo = _read_float(ctx, node, ("uoffset",), 0.0)
-            vo = _read_float(ctx, node, ("voffset",), 0.0)
-            us = _read_float(ctx, node, ("uscale",), 1.0)
-            vs = _read_float(ctx, node, ("vscale",), 1.0)
-            tf = np.array([us, 0, uo * us, 0, vs, vo * vs], np.float32)
+            tf = _read_uv_transform(ctx, node)
             tid = ctx.tex.add_checkerboard(scale * c0, scale * c1, tf)
         elif ttype == "bitmap":
             fn = _child_by_name(node, ("filename",))
@@ -366,11 +362,7 @@ def _read_texture(ctx, node, scale, default) -> int:
                 pixels = np.full((2, 2, 3), 0.5, np.float32)
             else:
                 pixels = read_image_linear(path, gamma if gamma else 2.2)
-            uo = _read_float(ctx, node, ("uoffset",), 0.0)
-            vo = _read_float(ctx, node, ("voffset",), 0.0)
-            us = _read_float(ctx, node, ("uscale",), 1.0)
-            vs = _read_float(ctx, node, ("vscale",), 1.0)
-            tf = np.array([us, 0, uo * us, 0, vs, vo * vs], np.float32)
+            tf = _read_uv_transform(ctx, node)
             tid = ctx.tex.add_bitmap(pixels * scale, tf)
         else:
             raise ValueError(f"unsupported texture type '{ttype}'")
@@ -378,6 +370,30 @@ def _read_texture(ctx, node, scale, default) -> int:
             ctx.map_texture[tex_id] = tid
         return tid
     raise ValueError(f"unsupported texture node '{tag}'")
+
+
+def _read_uv_transform(ctx, node) -> np.ndarray:
+    """Texture uv transform as a 2x3 affine row [a,b,c,d,e,f]:
+    uv' = (a u + b v + c, d u + e v + f).  Accepts BOTH forms the scenes
+    use: Mitsuba-0.5 uscale/vscale/uoffset/voffset floats (csrt
+    parser.cpp texture path) and a Mitsuba-2/3 `<transform name="to_uv">`
+    child with scale/translate nodes."""
+    tf_node = None
+    for child in node.findall("transform"):
+        if child.get("name") in ("to_uv", "toUV", "uv"):
+            tf_node = child
+            break
+    if tf_node is not None:
+        m = _read_transform(ctx, tf_node)
+        return np.array(
+            [m[0, 0], m[0, 1], m[0, 3], m[1, 0], m[1, 1], m[1, 3]],
+            np.float32,
+        )
+    uo = _read_float(ctx, node, ("uoffset",), 0.0)
+    vo = _read_float(ctx, node, ("voffset",), 0.0)
+    us = _read_float(ctx, node, ("uscale",), 1.0)
+    vs = _read_float(ctx, node, ("vscale",), 1.0)
+    return np.array([us, 0, uo * us, 0, vs, vo * vs], np.float32)
 
 
 def _read_texture_param(ctx, node, names, default) -> int:

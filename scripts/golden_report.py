@@ -48,6 +48,11 @@ CASES = [
      "volumetric-caustic_isotropic.png",
      "volumetric-caustic/TungstenRender.png",
      "volumetric-caustic/TungstenRender.exr"),
+    ("box", "box/scene_v0.6.xml", "box.png", None, None),
+    ("lte-orb-silver", "lte-orb/silver.xml", "lte-orb_silver.png",
+     None, None),
+    ("lte-orb-rough-glass", "lte-orb/rough_glass.xml",
+     "lte-orb_rough-glass.png", None, None),
     ("classroom", "classroom/scene_v0.6.xml", "classroom.png",
      "classroom/TungstenRender.png", "classroom/TungstenRender.exr"),
     ("dining-room", "dining-room/scene_v0.6.xml", "dining-room.png",
@@ -69,13 +74,49 @@ def rel_mse(a, b):
     return float(np.mean((a - b) ** 2 / (b**2 + 1e-3)))
 
 
+def rel_mse_display(a, b):
+    """PNG goldens are clipped tonemapped LDR — compare in display space
+    (clip to [0,1] then gamma) so HDR highlights don't dominate."""
+    import numpy as np
+
+    ea = np.clip(a, 0.0, 1.0) ** (1.0 / 2.2)
+    eb = np.clip(b, 0.0, 1.0) ** (1.0 / 2.2)
+    return float(np.mean((ea - eb) ** 2 / (eb**2 + 1e-3)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=128, help="height in pixels")
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--scene", default=None, help="only run this case")
     ap.add_argument("--out", default="/tmp/golden", help="output dir for renders")
+    ap.add_argument("--tile", type=int, default=1 << 14)
+    ap.add_argument("--spp-chunk", type=int, default=4)
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="run each scene in its own subprocess — a TPU worker crash "
+        "(long-execution watchdog) then only loses that scene",
+    )
     args = ap.parse_args()
+
+    if args.isolate:
+        import subprocess
+
+        for name, *_ in CASES:
+            if args.scene and args.scene != name:
+                continue
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--scene", name, "--res", str(args.res),
+                "--spp", str(args.spp), "--out", args.out,
+                "--tile", str(args.tile), "--spp-chunk", str(args.spp_chunk),
+            ]
+            try:
+                subprocess.run(cmd, timeout=1200, check=False)
+            except subprocess.TimeoutExpired:
+                print(f"[golden] {name}: TIMEOUT", flush=True)
+        return
 
     import numpy as np
 
@@ -101,7 +142,13 @@ def main():
             cfg.integrator.depth_max = min(cfg.integrator.depth_max, 8)
             t0 = time.time()
             r = Renderer(cfg)
-            img = np.asarray(r.render(spp=args.spp, tile=min(w * h, 1 << 15)))
+            img = np.asarray(
+                r.render(
+                    spp=args.spp,
+                    tile=min(w * h, args.tile),
+                    spp_chunk=args.spp_chunk,
+                )
+            )
             dt = time.time() - t0
             write_png(os.path.join(args.out, f"{name}.png"), img)
 
@@ -109,12 +156,12 @@ def main():
             own_path = os.path.join(RESULTS, own_png) if own_png else None
             if own_path and os.path.exists(own_path):
                 g = downsample(read_png_linear(own_path), h, w)
-                own = rel_mse(img, g)
+                own = rel_mse_display(img, g)
             if tungsten_png:
                 tp = os.path.join(SCENES, tungsten_png)
                 if os.path.exists(tp):
                     g = downsample(read_png_linear(tp), h, w)
-                    t_err = rel_mse(img, g)
+                    t_err = rel_mse_display(img, g)
             if tungsten_exr:
                 tp = os.path.join(SCENES, tungsten_exr)
                 if os.path.exists(tp):

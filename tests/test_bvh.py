@@ -190,3 +190,51 @@ def test_watertight_matches_moller():
     back_w = np.asarray(det_w)[both] < 0
     frac = (back_m == back_w).mean()
     assert frac > 0.999 or frac < 0.001  # consistent up to a global sign
+
+
+def test_march_matches_brute():
+    """Leaf-march traversal (the default for > DENSE_MAX_PRIMS scenes)
+    against the brute-force oracle, closest and any-hit."""
+    from mcpt_tpu.ops.traversal import _intersect_march
+
+    n_tris = 3000
+    verts = random_soup(n_tris, seed=21)
+    geom = commit_geometry(verts, None, None, None, np.zeros(n_tris))
+    o, d = random_rays(1024, seed=22)
+    got = jax.jit(
+        lambda g, o, d: _intersect_march(g, o, d, 1e-4, 3.4e38, False)
+    )(geom, o, d)
+    ref = intersect_closest_brute(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(ref.t)[m], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got.prim)[m], np.asarray(ref.prim)[m])
+    occ = jax.jit(
+        lambda g, o, d: _intersect_march(g, o, d, 1e-4, 3.4e38, True).valid
+    )(geom, o, d)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref.valid))
+
+
+def test_march_t_window_and_opacity():
+    from mcpt_tpu.ops.traversal import _intersect_march
+
+    n_tris = 500
+    verts = random_soup(n_tris, seed=31)
+    opaque = np.zeros(n_tris, np.bool_)  # nothing blocks shadows
+    geom = commit_geometry(
+        verts, None, None, None, np.zeros(n_tris), tri_opaque=opaque
+    )
+    o, d = random_rays(256, seed=32)
+    occ = jax.jit(
+        lambda g, o, d: _intersect_march(g, o, d, 1e-4, 3.4e38, True).valid
+    )(geom, o, d)
+    assert not np.asarray(occ).any()
+    # t_max below the closest hit -> miss
+    full = jax.jit(
+        lambda g, o, d: _intersect_march(g, o, d, 1e-4, 3.4e38, False)
+    )(geom, o, d)
+    t_cut = jnp.where(full.valid, full.t * 0.5, 1e-3)
+    cut = _intersect_march(geom, o, d, 1e-4, t_cut, False)
+    assert not np.asarray(cut.valid & full.valid & (cut.t >= full.t)).any()

@@ -141,3 +141,26 @@ def test_transform_composition_order():
     np.testing.assert_allclose(
         (m @ [1, 0, 0, 1])[:3], [3, 0, 0], atol=1e-6
     )
+
+
+def test_checkerboard_to_uv_transform():
+    """Mitsuba-2 style `<transform name="to_uv"><scale/></transform>`
+    on textures must populate the uv transform (matpreview ground plane
+    uses it; a miss renders the checkerboard as one flat color)."""
+    import os
+
+    scene = (
+        "/root/reference/resources/scene/matpreview/"
+        "rough_conductor_isotropic.xml"
+    )
+    if not os.path.exists(scene):
+        pytest.skip("reference scenes not mounted")
+    from mcpt_tpu.scene.parser import load_config
+
+    cfg = load_config(scene)
+    checkers = [
+        t for t in cfg.textures.infos if t.get("type") == 2
+    ]
+    assert checkers and np.allclose(
+        checkers[0]["uv_transform"], [8, 0, 0, 0, 8, 0]
+    )

@@ -144,15 +144,24 @@ def read_sun_sky(ctx, node, etype: str):
         radius_scale = _read_float(
             ctx, node, ("sunRadiusScale", "sun_radius_scale"), 1.0
         )
-        app_radius = np.radians(SUN_APP_RADIUS * 0.5) * radius_scale
+        true_radius = np.radians(SUN_APP_RADIUS * 0.5)
+        app_radius = true_radius * radius_scale
         zenith = float(np.arccos(np.clip(-direction[1], -1.0, 1.0)))
         disk_radiance = spectrum.sun_radiance_rgb(zenith, turbidity) * scale
-        # NEE cone samples carry radiance x solid angle (the reference's
-        # harsh-light convention: CreateSunTexture sun_sky.cpp:255-265
-        # returns sun_radiance * solid_angle for EmitterInfo.sun.radiance)
-        solid_angle = 2.0 * np.pi * (1.0 - np.cos(app_radius))
+        # sunRadiusScale enlarges the VISIBLE disk but preserves total
+        # power (Mitsuba semantics; the reference does the same: NEE
+        # total = radiance x UNSCALED solid angle, sun_sky.cpp:260-265,
+        # and the splat spreads that total over the scaled disk,
+        # :268-299).  Without the 1/scale^2 the classroom sun
+        # (sunRadiusScale 18.8) injects ~354x too much energy.
+        solid_angle = 2.0 * np.pi * (1.0 - np.cos(true_radius))
+        solid_angle_vis = 2.0 * np.pi * (1.0 - np.cos(app_radius))
         bitmap = splat_sun_bitmap(
-            direction, app_radius, disk_radiance, width, height
+            direction,
+            app_radius,
+            disk_radiance * (solid_angle / solid_angle_vis),
+            width,
+            height,
         )
         tid = ctx.tex.add_bitmap(bitmap)
         ctx.config.emitters.append(

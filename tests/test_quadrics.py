@@ -312,3 +312,60 @@ class TestCompile:
         assert sc.quad_kinds == ((KIND_SPHERE, True),)
         img = np.asarray(Renderer(cfg).render(tile=64))
         assert np.isfinite(img).all()
+
+
+class TestQuadricMediumBoundary:
+    def test_null_sphere_shell_with_interior_medium(self):
+        """An analytic null-BSDF sphere bounding an absorbing medium must
+        attenuate a light seen through it exactly like the tessellated
+        shell (volumetric-caustic's glass ball is this shape analytically;
+        null shells are also shadow-transparent)."""
+        from mcpt_tpu.scene.ir import MediumInfo
+        from mcpt_tpu.scene.shapes import sphere_mesh
+
+        def build(analytic):
+            tex = TextureBuilder()
+            rad = tex.add_constant([4.0, 4.0, 4.0])
+            bsdfs = [BsdfInfo(btype=BsdfType.AREA_LIGHT, id_radiance=rad)]
+            media = [
+                MediumInfo(
+                    sigma_a=np.array([0.5, 1.0, 2.0], np.float32),
+                    sigma_s=np.zeros(3, np.float32),
+                )
+            ]
+            # emissive wall behind a medium-filled sphere shell
+            wall = InstanceInfo(shape="rectangle", id_bsdf=0)
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :3] *= 3.0
+            m[2, 3] = -3.0
+            wall.to_world = m
+            if analytic:
+                shell = InstanceInfo(
+                    shape="sphere", radius=1.0, id_bsdf=-1, id_medium_int=0
+                )
+            else:
+                shell = InstanceInfo(
+                    shape="mesh", mesh=sphere_mesh(subdiv=4), id_bsdf=-1,
+                    id_medium_int=0,
+                )
+            cam = CameraInfo(
+                width=8, height=8, spp=64, fov_x=10.0,
+                eye=np.array([0, 0, 4], np.float32),
+                look_at=np.zeros(3, np.float32),
+            )
+            return RendererConfig(
+                camera=cam,
+                integrator=IntegratorInfo(itype="volpath", depth_max=6),
+                textures=tex,
+                bsdfs=bsdfs,
+                media=media,
+                instances=[wall, shell],
+            )
+
+        a = np.asarray(Renderer(build(True)).render(tile=64))
+        b = np.asarray(Renderer(build(False)).render(tile=64))
+        c = a[4, 4]  # center pixel looks through the full diameter
+        # through-the-center transmittance: exp(-sigma_a * 2r) * L
+        expected = 4.0 * np.exp(-np.array([0.5, 1.0, 2.0]) * 2.0)
+        np.testing.assert_allclose(c, expected, rtol=0.15)
+        np.testing.assert_allclose(a[4, 4], b[4, 4], rtol=0.1)

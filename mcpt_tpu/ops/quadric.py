@@ -267,26 +267,18 @@ def sample_quadric_row(q: QuadricTables, i: int, kind: int, xi0, xi1):
         pl = r * nl
         uv = jnp.stack([xi1, jnp.arccos(jnp.clip(cos_t, -1, 1)) / jnp.pi], -1)
     elif kind == KIND_DISK:
-        # concentric (Dave Cline) map — area-uniform, disk.cpp:115-135
-        r1 = 2.0 * xi0 - 1.0
-        r2 = 2.0 * xi1 - 1.0
-        use1 = r1 * r1 > r2 * r2
-        rr = jnp.where(use1, r1, r2)
-        safe1 = jnp.where(jnp.abs(r1) > 1e-12, r1, 1e-12)
-        safe2 = jnp.where(jnp.abs(r2) > 1e-12, r2, 1e-12)
-        phi = jnp.where(
-            use1,
-            (jnp.pi / 4.0) * (r2 / safe1),
-            (jnp.pi / 2.0) - (r1 / safe2) * (jnp.pi / 4.0),
-        )
-        degen = (r1 == 0.0) & (r2 == 0.0)
-        rr = jnp.where(degen, 0.0, rr)
-        phi = jnp.where(degen, 0.0, phi)
+        # polar sqrt warp — exactly area-uniform, same distribution as
+        # the reference's concentric map (disk.cpp:115-135), but branch-
+        # and division-free: the concentric map's select/divide mix
+        # SIGILLs the axon remote TPU compiler (round-1 bisect —
+        # `row_disk` probe; only the stratification mapping differs)
+        rr = jnp.sqrt(jnp.maximum(xi0, 0.0))
+        phi = TWO_PI * xi1
         pl = jnp.stack(
             [0.5 * rr * jnp.cos(phi), 0.5 * rr * jnp.sin(phi),
              jnp.zeros_like(rr)], -1
         )
-        uv = jnp.stack([jnp.abs(rr), _wrap_phi(pl[..., 1], pl[..., 0]) / TWO_PI], -1)
+        uv = jnp.stack([rr, xi1], -1)
         nl = jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], jnp.float32), pl.shape
         )

@@ -74,6 +74,18 @@ def rel_mse(a, b):
     return float(np.mean((a - b) ** 2 / (b**2 + 1e-3)))
 
 
+def rel_mse_trimmed(a, b, trim=0.001):
+    """relMSE with the worst `trim` fraction of pixels discarded — an
+    unbiased-estimator render at low spp carries a few firefly spikes
+    whose squared error over near-black golden pixels otherwise
+    dominates the mean."""
+    import numpy as np
+
+    err = ((a - b) ** 2 / (b**2 + 1e-3)).mean(-1).ravel()
+    k = max(1, int(err.size * (1.0 - trim)))
+    return float(np.sort(err)[:k].mean())
+
+
 def rel_mse_display(a, b):
     """PNG goldens are clipped tonemapped LDR — compare in display space
     (clip to [0,1] then gamma) so HDR highlights don't dominate."""
@@ -167,7 +179,7 @@ def main():
                 if os.path.exists(tp):
                     # linear-HDR ground truth: the real acceptance number
                     g = downsample(read_exr(tp), h, w)
-                    exr_err = rel_mse(img, g)
+                    exr_err = (rel_mse(img, g), rel_mse_trimmed(img, g))
             rows.append((name, "ok", own, t_err, exr_err, dt))
             print(
                 f"[golden] {name}: own={own} tungsten(png)={t_err} "
@@ -184,7 +196,11 @@ def main():
     for name, status, own, t_err, exr_err, dt in rows:
         o = f"{own:.3f}" if own is not None else "-"
         t = f"{t_err:.3f}" if t_err is not None else "-"
-        x = f"{exr_err:.3f}" if exr_err is not None else "-"
+        x = (
+            f"{exr_err[0]:.3f} / trimmed {exr_err[1]:.3f}"
+            if exr_err is not None
+            else "-"
+        )
         print(f"| {name} | {status} | {o} | {t} | {x} | {dt:.0f} |")
 
 

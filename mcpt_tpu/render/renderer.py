@@ -95,6 +95,20 @@ def render_tile(scene: SceneData, camera: Camera, integ: IntegratorInfo,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("integ", "spp", "spp_total"))
+def render_tile_regen(scene: SceneData, camera: Camera,
+                      integ: IntegratorInfo, pixel_idx, spp: int,
+                      frame_base=0, spp_total=None, sample_offset=0):
+    """Jitted tile renderer on the fused regeneration wavefront
+    (integrators.path.shade_regen) — path integrator only."""
+    film, _ = path_integrator.shade_regen(
+        scene, camera=camera, integ=integ, pixel_idx=pixel_idx, spp=spp,
+        frame_base=frame_base, spp_total=spp_total,
+        sample_offset=sample_offset,
+    )
+    return film
+
+
 class Renderer:
     """Facade: config -> committed scene -> film (csrt RayTracer)."""
 
@@ -106,17 +120,30 @@ class Renderer:
 
     def render(self, spp: int | None = None, tile: int = 1 << 16,
                frame_base: int = 0, progress: bool = False,
-               spp_chunk: int = 8) -> np.ndarray:
+               spp_chunk: int = 8, engine: str | None = None) -> np.ndarray:
         """Render the full frame; returns linear-light [H, W, 3] float32.
 
         Work is dispatched in (tile, spp_chunk) pieces so no single XLA
         execution runs long — keeps device watchdogs happy and gives
         progress/preemption points (the reference's Morton-patch queue
-        serves the same purpose on CPU, renderer.cpp:142-253)."""
+        serves the same purpose on CPU, renderer.cpp:142-253).
+
+        engine: 'regen' (default for the path integrator) fuses the spp
+        and depth loops with ray regeneration (shade_regen); 'chunked'
+        is the per-sample wavefront.  MCPT_ENGINE overrides the default.
+        """
+        import os
+
         cam = self.camera
         n_pix = cam.width * cam.height
         spp = spp or cam.spp
         integ = _freeze(self.integrator)
+        if engine is None:
+            engine = os.environ.get(
+                "MCPT_ENGINE",
+                "regen" if integ.itype not in ("volpath", "bdpt") else "chunked",
+            )
+        tile_fn = render_tile_regen if engine == "regen" else render_tile
         spp_chunk = min(spp_chunk, spp)
         # sample counts per chunk (last may be short; reuses the compile
         # only when equal, so prefer divisors)
@@ -138,7 +165,7 @@ class Renderer:
             acc = np.zeros((end - start, 3), np.float32)
             s_done = 0
             for s in chunks:
-                out = render_tile(
+                out = tile_fn(
                     self.scene, cam, integ, idx, s, frame_base,
                     spp_total=spp, sample_offset=s_done,
                 )

@@ -46,11 +46,14 @@ def random_float(state):
     """One LCG draw in [0, 1) (csrt math.hpp:58-63).
 
     Returns (new_state, sample); shapes follow `state`.
+
+    The masked 24-bit value converts through int32: uint32->float32 is
+    ~100x slower than int32->float32 on the TPU VPU (measured on v5e),
+    and the detour is bit-exact for values < 2^31.
     """
     state = state * _LCG_MUL + _LCG_ADD
-    sample = (state & jnp.uint32(0x00FFFFFF)).astype(jnp.float32) * (
-        1.0 / 16777216.0
-    )
+    bits24 = (state & jnp.uint32(0x00FFFFFF)).astype(jnp.int32)
+    sample = bits24.astype(jnp.float32) * (1.0 / 16777216.0)
     return state, sample
 
 
@@ -72,8 +75,14 @@ def van_der_corput_base2(index):
     i = ((i & jnp.uint32(0x0F0F0F0F)) << 4) | ((i & jnp.uint32(0xF0F0F0F0)) >> 4)
     i = ((i & jnp.uint32(0x00FF00FF)) << 8) | ((i & jnp.uint32(0xFF00FF00)) >> 8)
     i = (i << 16) | (i >> 16)
-    # 2^-32 scaling; uint32->float32 conversion is exact enough here
-    return i.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    # 2^-32 scaling, split hi24/lo8 through int32 converts (the direct
+    # uint32->float32 convert is ~100x slower on the TPU VPU); the two
+    # exact terms round once on add — bit-identical to the direct form.
+    hi = (i >> 8).astype(jnp.int32).astype(jnp.float32)
+    lo = (i & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(5.960464477539063e-08) + lo * jnp.float32(
+        2.3283064365386963e-10
+    )
 
 
 def van_der_corput(index, base: int):
@@ -86,7 +95,10 @@ def van_der_corput(index, base: int):
 
     def body(_, carry):
         idx, result, frac = carry
-        result = result + frac * (idx % ubase).astype(jnp.float32)
+        # digit < base always fits int32; the int32 detour avoids the
+        # slow uint32->float32 VPU convert (see random_float above)
+        digit = (idx % ubase).astype(jnp.int32).astype(jnp.float32)
+        result = result + frac * digit
         idx = idx // ubase
         frac = frac * base_inv
         return idx, result, frac

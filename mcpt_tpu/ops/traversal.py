@@ -208,16 +208,26 @@ def _intersect_dense(geom, o, d, t_min, t_max, any_hit: bool):
         if any_hit:
             hit = hit & opc[chunk_idx][None]
         t = jnp.where(hit, t, jnp.inf)
-        k = jnp.argmin(t, axis=1)
-        lane = jnp.arange(n)
-        tk = t[lane, k]
+        # winner extraction WITHOUT per-lane gathers (TPU gathers
+        # serialize): min-reduce t, recover the winning column by a
+        # masked-iota min, then one-hot sum the attributes — all dense
+        # VPU reductions.
+        tk = jnp.min(t, axis=1)
         take = jnp.isfinite(tk) & (tk < t_best)
+        iota_c = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        k = jnp.min(
+            jnp.where(t == tk[:, None], iota_c, jnp.int32(2**30)), axis=1
+        )
+        one_hot = iota_c == k[:, None]
+        vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1)
+        wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1)
+        dk = jnp.sum(jnp.where(one_hot, det_inv, 0.0), axis=1)
         return (
             jnp.where(take, tk, t_best),
             jnp.where(take, base + k, prim_best),
-            jnp.where(take, v[lane, k], v_best),
-            jnp.where(take, w[lane, k], w_best),
-            jnp.where(take, det_inv[lane, k] < 0, in_best),
+            jnp.where(take, vk, v_best),
+            jnp.where(take, wk, w_best),
+            jnp.where(take, dk < 0, in_best),
             valid | take,
         ), None
 
@@ -302,16 +312,24 @@ def _intersect_march(geom, o, d, t_min, t_max, any_hit: bool):
             hit = hit & (rows[..., 9] > 0.5)
         hit = hit & active[:, None]
         t = jnp.where(hit, t, jnp.inf)
-        k = jnp.argmin(t, axis=1)
-        tk = t[lane, k]
+        # min + one-hot winner extraction (no per-lane gathers)
+        tk = jnp.min(t, axis=1)
         take = jnp.isfinite(tk) & (tk < t_best)
+        iota_c = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        k = jnp.min(
+            jnp.where(t == tk[:, None], iota_c, jnp.int32(2**30)), axis=1
+        )
+        one_hot = iota_c == k[:, None]
+        vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1)
+        wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1)
+        dk = jnp.sum(jnp.where(one_hot, det_inv, 0.0), axis=1)
 
         best = (
             jnp.where(take, tk, t_best),
             jnp.where(take, li * ls + k, prim_best),
-            jnp.where(take, v[lane, k], v_best),
-            jnp.where(take, w[lane, k], w_best),
-            jnp.where(take, det_inv[lane, k] < 0, in_best),
+            jnp.where(take, vk, v_best),
+            jnp.where(take, wk, w_best),
+            jnp.where(take, dk < 0, in_best),
             valid | take,
         )
         # mask the processed chunk (lanes already finished keep theirs
@@ -451,16 +469,23 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
                 if any_hit:
                     hit = hit & opq
                 t = jnp.where(hit, t, jnp.inf)
-                k = jnp.argmin(t, axis=1)
-                lane = jnp.arange(block)
-                tk = t[lane, k]
+                tk = jnp.min(t, axis=1)
                 take = jnp.isfinite(tk) & (tk < t_best)
+                iota_c = lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                k = jnp.min(
+                    jnp.where(t == tk[:, None], iota_c, jnp.int32(2**30)),
+                    axis=1,
+                )
+                one_hot = iota_c == k[:, None]
+                vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1)
+                wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1)
+                dk = jnp.sum(jnp.where(one_hot, det_inv, 0.0), axis=1)
                 return (
                     jnp.where(take, tk, t_best),
                     jnp.where(take, base + k, prim_best),
-                    jnp.where(take, v[lane, k], v_best),
-                    jnp.where(take, w[lane, k], w_best),
-                    jnp.where(take, det_inv[lane, k] < 0, in_best),
+                    jnp.where(take, vk, v_best),
+                    jnp.where(take, wk, w_best),
+                    jnp.where(take, dk < 0, in_best),
                     valid | take,
                 )
 

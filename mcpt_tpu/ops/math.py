@@ -84,9 +84,17 @@ def mis_weight(pdf1, pdf2):
     masked wavefront lanes can't overflow float32 in the squares — inf/inf
     NaNs there would otherwise leak through `jnp.where` in reverse-mode AD.
     """
-    r = pdf2 / jnp.maximum(pdf1, 1e-24)
-    r2 = jnp.minimum(sqr(r), 1e30)
-    return 1.0 / (1.0 + r2)
+    # scale-normalized form: the ratio pdf2/pdf1 overflows f32 on masked
+    # wavefront lanes (pdf_direct ~ 1e29 over a grazing bsdf pdf), and
+    # any inf here turns into 0 * inf = NaN in reverse-mode AD.  Dividing
+    # both pdfs by their max keeps every intermediate in [0, 1]; the
+    # 1e-15 floor is the smallest value whose SQUARE is still a normal
+    # f32 (1e-24's square flushes to zero, making div's backward
+    # x1/x2^2 = inf).
+    m = jnp.maximum(jnp.maximum(pdf1, pdf2), 1e-15)
+    a = sqr(pdf1 / m)
+    b = sqr(pdf2 / m)
+    return a / jnp.maximum(a + b, 1e-30)
 
 
 def cartesian_to_spherical(v):

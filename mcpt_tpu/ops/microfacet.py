@@ -128,12 +128,9 @@ def fresnel_schlick(cos_theta, reflectivity):
     return (1.0 - reflectivity) * pow5 + reflectivity
 
 
-def average_fresnel_scalar(eta):
+def _average_fresnel_scalar_poly(eta, xp):
     """Scalar average Fresnel fits (csrt bsdf.cpp:10-38):
-    Egan–Hilgeman for eta < 1, d'Eon–Irving otherwise.  Host-side."""
-    import numpy as np
-
-    eta = np.asarray(eta, np.float32)
+    Egan–Hilgeman for eta < 1, d'Eon–Irving otherwise."""
     lo = -1.4399 * eta**2 + 0.7099 * eta + 0.6681 + 0.0636 / eta
     ie = 1.0 / eta
     hi = (
@@ -144,16 +141,27 @@ def average_fresnel_scalar(eta):
         + 4.98554 * ie**4
         - 1.36881 * ie**5
     )
-    return np.where(eta < 1.0, lo, hi).astype(np.float32)
+    return xp.where(eta < 1.0, lo, hi)
 
 
-def average_fresnel_rgb(reflectivity, edgetint):
-    """Gulbrandsen-parametrized average Fresnel fit for conductors
-    (csrt bsdf.cpp:40-51).  Host-side numpy."""
+def average_fresnel_scalar(eta):
+    """Host-side numpy evaluation of the scalar average-Fresnel fit."""
     import numpy as np
 
-    r = np.asarray(reflectivity, np.float32)
-    g = np.asarray(edgetint, np.float32)
+    return _average_fresnel_scalar_poly(
+        np.asarray(eta, np.float32), np
+    ).astype(np.float32)
+
+
+def average_fresnel_scalar_jnp(eta):
+    """Traced (differentiable) scalar average-Fresnel fit — used when
+    `eta` is a gradient parameter (parallel.shard.apply_params)."""
+    return _average_fresnel_scalar_poly(jnp.asarray(eta, jnp.float32), jnp)
+
+
+def _average_fresnel_rgb_poly(r, g):
+    """Gulbrandsen-parametrized average Fresnel fit for conductors
+    (csrt bsdf.cpp:40-51) — pure polynomial, numpy/jnp agnostic."""
     return (
         0.087237
         + 0.0230685 * g
@@ -165,4 +173,21 @@ def average_fresnel_rgb(reflectivity, edgetint):
         + 0.19744 * g * r
         + 0.0360605 * g**2 * r
         - 0.2586 * g * r**2
-    ).astype(np.float32)
+    )
+
+
+def average_fresnel_rgb(reflectivity, edgetint):
+    """Host-side numpy evaluation of the conductor average-Fresnel fit."""
+    import numpy as np
+
+    r = np.asarray(reflectivity, np.float32)
+    g = np.asarray(edgetint, np.float32)
+    return _average_fresnel_rgb_poly(r, g).astype(np.float32)
+
+
+def average_fresnel_rgb_jnp(reflectivity, edgetint):
+    """Traced (differentiable) conductor average-Fresnel fit."""
+    return _average_fresnel_rgb_poly(
+        jnp.asarray(reflectivity, jnp.float32),
+        jnp.asarray(edgetint, jnp.float32),
+    )

@@ -60,10 +60,82 @@ def render_film_sharded(scene, camera, integ, mesh: Mesh, spp: int,
     return out[:n_pix]
 
 
-def make_train_step(integ, spp: int, mesh: Mesh):
+# Gradient parameter families (BASELINE.json north star: "material,
+# texture, and emitter parameters").  Each family maps to concrete scene
+# pytree leaves; derived quantities (inverse eta, average Fresnel, KC
+# normalizations) are recomputed IN-TRACE by `apply_params` so their
+# sensitivities flow into the gradient.
+PARAM_FAMILIES = ("textures", "bsdf", "emitters", "media")
+
+
+def select_params(scene, families=("textures",)):
+    """Extract the differentiable leaves for the requested families."""
+    p = {}
+    if "textures" in families:
+        p["tex.color0"] = scene.tex.color0
+        p["tex.color1"] = scene.tex.color1
+        p["tex.atlas"] = scene.tex.atlas
+    if "bsdf" in families:
+        p["bsdf.eta"] = scene.bsdf.eta
+        p["bsdf.reflectivity_rgb"] = scene.bsdf.reflectivity_rgb
+        p["bsdf.edgetint_rgb"] = scene.bsdf.edgetint_rgb
+    if "emitters" in families:
+        p["em.intensity"] = scene.emitters.intensity
+        p["em.radiance"] = scene.emitters.radiance
+    if "media" in families:
+        p["med.sigma_s"] = scene.media.sigma_s
+        p["med.sigma_t"] = scene.media.sigma_t
+    return p
+
+
+def apply_params(scene, p):
+    """Write parameter leaves back into the scene pytree, recomputing
+    the host-committed derived tables (BsdfTables eta_inv/reflectivity/
+    f_avg*, csrt bsdf.cpp:115-188) inside the trace so reverse-mode AD
+    sees the full dependency."""
+    from mcpt_tpu.ops.microfacet import (
+        average_fresnel_rgb_jnp,
+        average_fresnel_scalar_jnp,
+    )
+
+    if "tex.color0" in p:
+        scene = scene.replace(tex=scene.tex.replace(
+            color0=p["tex.color0"], color1=p["tex.color1"],
+            atlas=p["tex.atlas"],
+        ))
+    if "bsdf.eta" in p:
+        eta = p["bsdf.eta"]
+        refl_rgb = p["bsdf.reflectivity_rgb"]
+        edge_rgb = p["bsdf.edgetint_rgb"]
+        scene = scene.replace(bsdf=scene.bsdf.replace(
+            eta=eta,
+            eta_inv=1.0 / eta,
+            reflectivity=((eta - 1.0) / (eta + 1.0)) ** 2,
+            f_avg=average_fresnel_scalar_jnp(eta),
+            f_avg_inv=average_fresnel_scalar_jnp(1.0 / eta),
+            reflectivity_rgb=refl_rgb,
+            edgetint_rgb=edge_rgb,
+            f_avg_rgb=average_fresnel_rgb_jnp(refl_rgb, edge_rgb),
+        ))
+    if "em.intensity" in p:
+        scene = scene.replace(emitters=scene.emitters.replace(
+            intensity=p["em.intensity"], radiance=p["em.radiance"],
+        ))
+    if "med.sigma_s" in p:
+        # sampling_weight stays fixed: it is a sampling *choice*, not a
+        # physical parameter — differentiating through it would need
+        # score-function terms the estimator doesn't carry.
+        scene = scene.replace(media=scene.media.replace(
+            sigma_s=p["med.sigma_s"], sigma_t=p["med.sigma_t"],
+        ))
+    return scene
+
+
+def make_train_step(integ, spp: int, mesh: Mesh,
+                    families: tuple = ("textures",)):
     """Differentiable render step: returns `step(scene, camera, pixel_idx,
-    target) -> (loss, grads)` where grads are w.r.t. the differentiable
-    texture leaves (color0/color1/atlas) — the BASELINE.json north-star
+    target) -> (loss, grads)` where grads cover the requested parameter
+    `families` (see PARAM_FAMILIES) — the BASELINE.json north-star
     estimator gradient — `psum`-reduced over the mesh.
 
     pixel_idx/target must be sharded over 'devices' (or any [N]/[N,3]
@@ -78,17 +150,10 @@ def make_train_step(integ, spp: int, mesh: Mesh):
         check_vma=False,
     )
     def step(scene, camera, pixel_idx, target):
-        params = {
-            "color0": scene.tex.color0,
-            "color1": scene.tex.color1,
-            "atlas": scene.tex.atlas,
-        }
+        params = select_params(scene, families)
 
         def loss_fn(p):
-            tex = scene.tex.replace(
-                color0=p["color0"], color1=p["color1"], atlas=p["atlas"]
-            )
-            scene_p = scene.replace(tex=tex)
+            scene_p = apply_params(scene, p)
             img = render_pixels(
                 scene_p, camera, integ, pixel_idx, spp, differentiable=True
             )

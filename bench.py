@@ -100,9 +100,10 @@ def main():
         scene_name = "cornell-box-builtin"
 
     r = Renderer(config)
-    # 16k-lane tiles + 8-spp chunks: short dispatches (device watchdog)
-    # and a single compiled program shape shared with scripts/tpu_probe.py
-    tile = 1 << 14
+    # 64k-lane tiles + 8-spp chunks: the scripts/tile_sweep.py optimum
+    # (64k beats 16k by 1.25x and 256k by 1.44x at depth 65; dispatches
+    # stay ~2s, well under the device watchdog)
+    tile = 1 << 16
     spp_chunk = 8
     # warmup with the SAME (spp_chunk, spp_total) program so the timed
     # run never compiles

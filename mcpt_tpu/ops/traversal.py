@@ -555,6 +555,40 @@ def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
                    w=w_best, inside=in_best)
 
 
+def _zero_tangent(x):
+    """Zero tangent with the float0 convention for integer/bool leaves."""
+    import numpy as np
+    from jax import dtypes
+
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, dtypes.float0)
+
+
+def _detached(fn):
+    """Mark a while_loop-based traversal as a path-space constant.
+
+    The march/packet traversals iterate a `lax.while_loop`, which
+    reverse-mode AD cannot transpose — without this, any scene past
+    DENSE_MAX_PRIMS cannot be differentiated at all.  Detaching the hit
+    record is the standard detached-sampling estimator: gradients of
+    shading parameters (textures, BSDF scalars, emitters, media) flow
+    through the throughput/radiance products along the FIXED sampled
+    path, while the geometric dependence of the path itself is dropped
+    (the dense sweep keeps it; geometry is not in the gradient set
+    either way — parallel.shard.PARAM_FAMILIES)."""
+    import jax
+
+    f = jax.custom_jvp(fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = fn(*primals)
+        return out, jax.tree.map(_zero_tangent, out)
+
+    return f
+
+
 def _large_strategy() -> str:
     """Large-scene (> DENSE_MAX_PRIMS) traversal: 'march' (default —
     per-lane nearest-chunk march, see _intersect_march) or 'packet'
@@ -562,6 +596,28 @@ def _large_strategy() -> str:
     import os
 
     return os.environ.get("MCPT_TRAVERSAL", "march")
+
+
+_march_closest = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_march(
+        geom, o, d, t_min, t_max, any_hit=False
+    )
+)
+_march_any = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_march(
+        geom, o, d, t_min, t_max, any_hit=True
+    )
+)
+_packet_closest = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_packet(
+        geom, o, d, t_min, t_max, any_hit=False
+    )
+)
+_packet_any = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_packet(
+        geom, o, d, t_min, t_max, any_hit=True
+    )
+)
 
 
 def _use_pallas_dense() -> bool:
@@ -637,8 +693,8 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
             return _intersect_dense_pallas(geom, o, d, t_min, t_max, False)
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
     if _large_strategy() == "packet":
-        return _intersect_packet(geom, o, d, t_min, t_max, any_hit=False)
-    return _intersect_march(geom, o, d, t_min, t_max, any_hit=False)
+        return _packet_closest(geom, o, d, t_min, t_max)
+    return _march_closest(geom, o, d, t_min, t_max)
 
 
 def intersect_any(geom, o, d, t_min=None, t_max=None):
@@ -656,8 +712,8 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
             ).valid
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
     if _large_strategy() == "packet":
-        return _intersect_packet(geom, o, d, t_min, t_max, any_hit=True).valid
-    return _intersect_march(geom, o, d, t_min, t_max, any_hit=True).valid
+        return _packet_any(geom, o, d, t_min, t_max).valid
+    return _march_any(geom, o, d, t_min, t_max).valid
 
 
 def intersect_closest_brute(geom, o, d, t_min=None, t_max=None, chunk=512):

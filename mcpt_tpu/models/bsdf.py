@@ -369,10 +369,24 @@ def _oren_nayar(albedo, sigma, wi_local, wo_local, fast):
 def _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo):
     albedo = textures.eval_color(tex, tables.diffuse_tid[bid], uv)
     sigma = _scalar_tex(tex, tables.roughness_tid[bid], uv)
+    if _on_barrier():
+        # fusion break: the axon remote compiler SIGILLs / hangs on the
+        # fused bitmap-gather + Oren-Nayar transcendental program
+        # (mercury/rough_diffuse.xml, GOLDEN.md r1); splitting the
+        # texture fetch from the trig chain sidesteps the miscompile
+        import jax
+
+        albedo, sigma = jax.lax.optimization_barrier((albedo, sigma))
     wi_local = to_local(-wi, t, b, n)
     wo_local = to_local(wo, t, b, n)
     fast = tables.use_fast_approx[bid]
     return _oren_nayar(albedo, sigma, wi_local, wo_local, fast)
+
+
+def _on_barrier() -> bool:
+    import os
+
+    return os.environ.get("MCPT_ON_BARRIER", "1") != "0"
 
 
 def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):

@@ -77,19 +77,37 @@ class LightVertex(NamedTuple):
     bitangent: jnp.ndarray  # [N, 3]
     inside: jnp.ndarray     # [N]
     wi_in: jnp.ndarray      # [N, 3] direction light traveled INTO vertex
-    radiance: jnp.ndarray   # [N, 3] cached radiance toward wo (bdpt caching)
-    prev_pos: jnp.ndarray   # [N, 3] previous vertex position
-    prev_area_pdf: jnp.ndarray  # [N] area pdf at the previous vertex
+    beta_in: jnp.ndarray    # [N, 3] incident throughput: emitted radiance
+    #                         transported along the subpath, divided by
+    #                         every sampling pdf up to this vertex
+    #                         (the Veach alpha recurrence)
+    cos_in: jnp.ndarray     # [N] |n . wi_in| at this vertex
 
 
 def light_subpath_draws(scene: SceneData) -> int:
-    per_vertex = bsdfs.N_SAMPLE_DRAWS + 1 + nee_draw_count(scene)
-    return 5 + K_LIGHT * per_vertex
+    opacity = 1 if scene.has_opacity else 0
+    return 5 + K_LIGHT * opacity + (K_LIGHT - 1) * bsdfs.N_SAMPLE_DRAWS
 
 
 def _light_subpath(scene: SceneData, integ, seed, n):
-    """Build the light subpath + per-vertex cached radiance.  Returns
-    (vertices stacked over K as a LightVertex of [K, N, ...], seed)."""
+    """Build the light subpath with Veach alpha (beta) throughputs.
+
+    Re-design of the archive's CreateEmitterPath (bdpt.cpp:70-157): the
+    archive caches a per-vertex RADIANCE built from its own NEE calls
+    and divides connections by a uniform instance-area pdf — a heuristic
+    that is badly biased when the light subpath's true density differs
+    from uniform (measured 1.6x bright on an indirect-only box, round
+    2).  Here each vertex instead carries the standard BDPT incident
+    throughput
+
+        beta_1   = Le * cos(light) / (pdf_area * pdf_dir)
+        beta_k+1 = beta_k * f(wi_in -> dir_next) * cos_out
+                   / (cos_in * pdf_sample)
+
+    (f in this codebase includes the INCIDENT cosine, hence the
+    cos_out/cos_in correction), so a connection contributes the exact
+    unweighted path integrand estimate beta * f_v * cos_conn /
+    (cos_in * d^2) * f_cam — unbiased per strategy."""
     # --- light vertex (bdpt.cpp:77-90)
     seed, xi = rng.random_floats(seed, 5)
     pos0, n0, rad0, pdf_area0 = _sample_area_light(scene, xi[0], xi[1], xi[2])
@@ -101,11 +119,11 @@ def _light_subpath(scene: SceneData, integ, seed, n):
     prev_pos = pos0
     prev_dir = dir0
     prev_valid = jnp.ones((n,), jnp.bool_) & (scene.n_emissive > 0)
-    prev_area_pdf = jnp.broadcast_to(pdf_area0, (n,))
-    # radiance leaving the light toward the first vertex, divided by the
-    # direction pdf (the archive folds this into the transport chain)
-    prev_radiance = rad0
-    prev_pdf_dir = pdf_dir0
+    cos0 = jnp.abs(dot(dir0, n0))
+    beta = (
+        rad0 * cos0[..., None]
+        / jnp.maximum(pdf_area0 * pdf_dir0, 1e-12)[..., None]
+    )
 
     for k in range(K_LIGHT):
         ghit = scene_closest(
@@ -122,59 +140,10 @@ def _light_subpath(scene: SceneData, integ, seed, n):
         valid = prev_valid & hit.valid & ~is_em & ~backface & has_b
 
         wi_in = prev_dir  # direction light travels into this vertex
+        cos_in = jnp.maximum(jnp.abs(dot(wi_in, hit.normal)), 1e-6)
 
-        # pseudo-sample a continuation, then evaluate the transport
-        # (bdpt.cpp:104-107)
-        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
-        wi_ps, _, _, v_ps = bsdfs.bsdf_sample(
-            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
-            -wi_in, hit.normal, hit.tangent, hit.bitangent, hit.inside,
-            hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
-        )
-        dir_next = -wi_ps
-        pdf_t, f_t, v_t = _bsdf_eval(scene, hit, wi_in, dir_next)
-        valid = valid & v_ps & v_t
-
-        # cached radiance toward dir_next (bdpt.cpp:115-152):
-        # transported term from the previous vertex, MIS-weighted by the
-        # area-measure pdf of reaching this vertex from there
-        prev_normal = n0 if k == 0 else vertices[-1].normal
-        cos_prime = jnp.abs(dot(prev_dir, prev_normal))
-        dist = jnp.sqrt(
-            jnp.maximum(dot(hit.position - prev_pos,
-                            hit.position - prev_pos), 1e-20)
-        )
-        pdf_direct = prev_area_pdf * dist * dist / jnp.maximum(
-            cos_prime, 1e-12
-        )
-        if k == 0:
-            # direct-from-light transport: weight vs the BSDF eval pdf
-            # and divide by that pdf (bdpt.cpp:117-126 L_area_bsdf)
-            w_mis = mis_weight(pdf_t, pdf_direct)
-            trans = (
-                w_mis[..., None]
-                * prev_radiance
-                * f_t
-                / jnp.maximum(pdf_t, 1e-12)[..., None]
-            )
-        else:
-            # surface-to-surface transport in area measure
-            # (bdpt.cpp:133-146 L_indirect)
-            w_mis = mis_weight(pdf_direct, pdf_t)
-            trans = (
-                w_mis[..., None]
-                * prev_radiance
-                * f_t
-                / jnp.maximum(pdf_direct, 1e-12)[..., None]
-            )
-
-        # direct lighting at this vertex toward dir_next
-        seed, xi_nee = rng.random_floats(seed, nee_draw_count(scene))
-        l_direct = _direct_lighting(scene, hit, dir_next, valid, xi_nee)
-
-        radiance = jnp.where(valid[..., None], l_direct + trans, 0.0)
         if k >= integ.depth_rr:
-            radiance = radiance / integ.pdf_rr
+            beta = beta / integ.pdf_rr
 
         vertices.append(
             LightVertex(
@@ -188,17 +157,37 @@ def _light_subpath(scene: SceneData, integ, seed, n):
                 bitangent=hit.bitangent,
                 inside=hit.inside,
                 wi_in=wi_in,
-                radiance=radiance,
-                prev_pos=prev_pos,
-                prev_area_pdf=prev_area_pdf,
+                beta_in=jnp.where(valid[..., None], beta, 0.0),
+                cos_in=cos_in,
             )
         )
+
+        if k == K_LIGHT - 1:
+            break
+
+        # extend: sample the scattered continuation and update beta
+        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
+        wi_ps, pdf_ps, f_ps, v_ps = bsdfs.bsdf_sample(
+            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
+            -wi_in, hit.normal, hit.tangent, hit.bitangent, hit.inside,
+            hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
+        )
+        # bsdf_sample treats its wo argument (-wi_in) as the outgoing
+        # side and the returned wi as incident; by reciprocity evaluate
+        # the transport with the roles swapped: f includes cos(-wi_in
+        # side)... use the explicit eval in the light-flow orientation.
+        dir_next = -wi_ps
+        pdf_t, f_t, v_t = _bsdf_eval(scene, hit, wi_in, dir_next)
+        valid = valid & v_ps & v_t
+        cos_out = jnp.maximum(jnp.abs(dot(dir_next, hit.normal)), 1e-6)
+        beta = beta * f_t * (
+            cos_out / (cos_in * jnp.maximum(pdf_ps, 1e-12))
+        )[..., None]
+        beta = jnp.where(valid[..., None], beta, 0.0)
 
         prev_pos = hit.position
         prev_dir = dir_next
         prev_valid = valid
-        prev_radiance = radiance
-        prev_area_pdf = scene.map_inst_area_pdf[jnp.maximum(hit.inst_id, 0)]
 
     return vertices, seed
 
@@ -222,26 +211,32 @@ def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
     )
     ok = geo_ok & ~occluded
 
-    # Treat the light vertex as an area emitter whose emitted radiance is
-    # its cached exitant radiance — the archive's i>=2 connection formula
-    # (bdpt.cpp:215-242) with L_prev taken from the subpath cache (the
-    # archive re-evaluates L_prev's direction dependence per connection;
-    # the cache is exact for Lambertian subpath vertices and an
-    # approximation for glossy ones — documented deviation).
-    area_pdf_l = scene.map_inst_area_pdf[jnp.maximum(vert.inst_id, 0)]
-    pdf_direct = area_pdf_l * dist * dist / jnp.maximum(cos_prime, 1e-12)
-
+    # light-side BSDF: light flowed in along wi_in, leaves toward the
+    # camera vertex (reciprocal eval; f includes cos_in which the
+    # G-term algebra divides back out — see _light_subpath docstring)
+    pdf_v, f_v, v_v = _bsdf_eval(scene, vert, vert.wi_in, dir_lc)
     # camera vertex evaluates the incoming direction
     pdf_c, f_c, v_c = _bsdf_eval(scene, hit, dir_lc, wo)
-    ok = ok & v_c
+    ok = ok & v_c & v_v
 
-    w_direct = mis_weight(pdf_direct, pdf_c)
-    L = (
-        w_direct[..., None]
-        * vert.radiance
+    # unweighted contribution: beta_in * (f_v / cos_in) * G * (f_c /
+    # cos_x) with G = cos_prime * cos_x / d^2  (cos_x cancels f_c's
+    # built-in incident cosine)
+    contrib = (
+        vert.beta_in
+        * f_v
         * f_c
-        / jnp.maximum(pdf_direct, 1e-12)[..., None]
+        * (cos_prime / (vert.cos_in * dist * dist))[..., None]
     )
+
+    # MIS vs the camera-side BSDF continuation that could build the same
+    # edge, using the SAME instance-area proxy density as the skeleton's
+    # w_cont down-weight (shade, bdpt.cpp:269-283) — the pair then
+    # partitions exactly: w_conn + w_cont = 1 for every shared path
+    area_pdf_l = scene.map_inst_area_pdf[jnp.maximum(vert.inst_id, 0)]
+    pdf_direct = area_pdf_l * dist * dist / jnp.maximum(cos_prime, 1e-12)
+    w_direct = mis_weight(pdf_direct, pdf_c)
+    L = w_direct[..., None] * contrib
     return jnp.where(ok[..., None], L, 0.0), pdf_direct, ok
 
 

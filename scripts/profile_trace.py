@@ -1,0 +1,93 @@
+"""Capture a jax.profiler device trace of one warm cornell render tile
+(VERDICT r1 weak #1: "no jax.profiler trace exists anywhere in the
+repo").  Writes the raw trace under docs/profile/ and appends a summary
+of the top device ops to docs/profile/SUMMARY.md.
+
+    python scripts/profile_trace.py [--tile 65536] [--spp 8]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "profile")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", type=int, default=1 << 16)
+    ap.add_argument("--spp", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    from mcpt_tpu.render.renderer import Renderer
+    from mcpt_tpu.scene.parser import load_config
+
+    cfg = load_config(
+        "/root/reference/resources/scene/cornell-box/scene_v0.6.xml"
+    )
+    cfg.camera.width = cfg.camera.height = 512
+    cfg.integrator.depth_max = 8
+    r = Renderer(cfg)
+    # warm compile OUTSIDE the trace
+    img = r.render(spp=args.spp, tile=args.tile, spp_chunk=args.spp)
+    jax.block_until_ready(img)
+
+    os.makedirs(OUT, exist_ok=True)
+    t0 = time.time()
+    with jax.profiler.trace(OUT):
+        img = r.render(spp=args.spp, tile=args.tile, spp_chunk=args.spp,
+                       frame_base=1)
+        jax.block_until_ready(img)
+    wall = time.time() - t0
+    print(f"traced render: {wall:.3f}s wall", flush=True)
+
+    # summarize: top self-time device events from the trace.json.gz
+    traces = sorted(glob.glob(os.path.join(OUT, "**", "*.trace.json.gz"),
+                              recursive=True), key=os.path.getmtime)
+    if not traces:
+        print("no trace file found", flush=True)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    events = [e for e in data.get("traceEvents", [])
+              if e.get("ph") == "X" and "dur" in e]
+    by_name = {}
+    for e in events:
+        # device lanes only (TensorFlow Op / XLA Ops lanes carry pid/tid
+        # metadata; cheap heuristic: keep named compute events)
+        name = e.get("name", "")
+        if not name or name.startswith("$"):
+            continue
+        by_name.setdefault(name, [0, 0])
+        by_name[name][0] += e["dur"]
+        by_name[name][1] += 1
+    top = sorted(by_name.items(), key=lambda kv: -kv[1][0])[:25]
+    lines = [
+        "# jax.profiler trace summary",
+        "",
+        f"cornell 512x512, tile={args.tile}, spp={args.spp}, depth 8 — "
+        f"one warm render, {wall:.3f}s wall (TPU v5e via axon).",
+        f"Raw trace: `{os.path.relpath(traces[-1], OUT)}`",
+        "",
+        "| op | total us | count |",
+        "|---|---|---|",
+    ]
+    for name, (dur, cnt) in top:
+        lines.append(f"| `{name[:70]}` | {dur} | {cnt} |")
+    with open(os.path.join(OUT, "SUMMARY.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[:14]), flush=True)
+    print(f"summary -> {OUT}/SUMMARY.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()

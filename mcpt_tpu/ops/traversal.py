@@ -676,6 +676,94 @@ def _intersect_dense_pallas(geom, o, d, t_min, t_max, any_hit, interpret=False):
     )
 
 
+def _use_pallas_march() -> bool:
+    """Pallas march kernel for large scenes is OPT-IN until proven on
+    the axon remote Mosaic compiler (MCPT_PALLAS_MARCH=1)."""
+    import os
+
+    return os.environ.get("MCPT_PALLAS_MARCH") == "1"
+
+
+def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
+                            interpret=False):
+    """Block-local VMEM march (ops.pallas_march).  Rays are sorted by
+    direction-octant + origin-Morton keys so each RAY_BLOCK shares
+    chunks (same coherence argument as _intersect_packet)."""
+    from mcpt_tpu.ops.pallas_march import CHUNK_TILE, RAY_BLOCK, march_sweep
+
+    n = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    order = jnp.argsort(_ray_sort_keys(geom, o, d))
+    o_s, d_s = o[order], d[order]
+    tmin_s, tmax_s = t_min[order], t_max[order]
+
+    r = RAY_BLOCK
+    g = -(-n // r)
+    pad = g * r
+
+    def pad1(a, fill=0.0):
+        return (
+            a if pad == n
+            else jnp.concatenate([a, jnp.full((pad - n,), fill, a.dtype)])
+        )
+
+    rays = jnp.stack(
+        [
+            pad1(o_s[:, 0]), pad1(o_s[:, 1]), pad1(o_s[:, 2]),
+            pad1(d_s[:, 0]), pad1(d_s[:, 1]), pad1(d_s[:, 2], fill=1.0),
+            pad1(tmin_s), pad1(tmax_s, fill=0.0),
+        ]
+    ).reshape(8, g, r).swapaxes(0, 1)  # [G, 8, R]
+
+    lm = geom.n_march_leaves
+    ls = geom.march_leaf
+    lm_pad = -(-lm // CHUNK_TILE) * CHUNK_TILE
+
+    def pad_c(a, fill):
+        ext = jnp.full((lm_pad - lm,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, ext]) if lm_pad != lm else a
+
+    cmin = jnp.concatenate(
+        [pad_c(geom.march_min, 3.0e37).T,
+         jnp.zeros((1, lm_pad), jnp.float32)]
+    )  # [4, Lm]
+    cmax = jnp.concatenate(
+        [pad_c(geom.march_max, 3.0e37).T,
+         jnp.zeros((1, lm_pad), jnp.float32)]
+    )
+    tris = pad_c(geom.march_tris, 0.0).swapaxes(1, 2)  # [Lm, 12, ls]
+
+    t, prim, v, w, flags = march_sweep(
+        rays, cmin, cmax, tris, any_hit=any_hit, interpret=interpret
+    )
+    inverse = jnp.argsort(order)
+    t, prim, v, w, flags = (
+        x.reshape(pad)[:n][inverse] for x in (t, prim, v, w, flags)
+    )
+    return GeomHit(
+        valid=flags >= 2.0,
+        t=t,
+        prim=prim,
+        v=v,
+        w=w,
+        inside=(flags % 2.0) >= 1.0,
+    )
+
+
+_march_pallas_closest = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_march_pallas(
+        geom, o, d, t_min, t_max, any_hit=False
+    )
+)
+_march_pallas_any = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_march_pallas(
+        geom, o, d, t_min, t_max, any_hit=True
+    )
+)
+
+
 def intersect_closest(geom, o, d, t_min=None, t_max=None):
     """Closest-hit traversal over the whole wavefront.
 
@@ -694,6 +782,8 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
     if _large_strategy() == "packet":
         return _packet_closest(geom, o, d, t_min, t_max)
+    if _use_pallas_march():
+        return _march_pallas_closest(geom, o, d, t_min, t_max)
     return _march_closest(geom, o, d, t_min, t_max)
 
 
@@ -713,6 +803,8 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
     if _large_strategy() == "packet":
         return _packet_any(geom, o, d, t_min, t_max).valid
+    if _use_pallas_march():
+        return _march_pallas_any(geom, o, d, t_min, t_max).valid
     return _march_any(geom, o, d, t_min, t_max).valid
 
 

@@ -1,0 +1,87 @@
+"""Pallas march kernel (interpret mode) vs the XLA march and brute force.
+
+The kernel processes chunks in a different order than the XLA march
+(block-min-entry vs per-lane nearest), so `t` must agree everywhere but
+`prim` may differ on exact-t ties; the assertions compare t/valid/inside
+strictly and check the winning prim produces the same t.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mcpt_tpu.ops.traversal import (
+    _intersect_march,
+    _intersect_march_pallas,
+    intersect_closest_brute,
+)
+from tests.test_bvh import commit_geometry, random_rays, random_soup
+
+
+def _geom(n_tris=900, seed=3):
+    verts = random_soup(n_tris, seed=seed)
+    return commit_geometry(verts, None, None, None, np.zeros(n_tris))
+
+
+def test_pallas_march_matches_xla_march_interpret():
+    geom = _geom()
+    o, d = random_rays(700, seed=11)
+    ref = _intersect_march(geom, o, d, 1e-4, 3.4e38, False)
+    got = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.inside)[m],
+                                  np.asarray(ref.inside)[m])
+    # prim may differ only on exact-t ties: re-evaluating the kernel's
+    # winning triangle must reproduce the reference t
+    from mcpt_tpu.ops.intersect import intersect_triangle
+
+    pid = np.asarray(got.prim)[m]
+    hit, t, _, _, _ = intersect_triangle(
+        o[m], d[m], geom.p0[pid], geom.e1[pid], geom.e2[pid], 1e-4, 3.4e38
+    )
+    assert bool(jnp.all(hit))
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_march_matches_brute_interpret():
+    geom = _geom(n_tris=500, seed=7)
+    o, d = random_rays(400, seed=13)
+    ref = intersect_closest_brute(geom, o, d, 1e-4, 3.4e38)
+    got = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_march_anyhit_interpret():
+    geom = _geom(n_tris=500, seed=9)
+    o, d = random_rays(400, seed=17)
+    ref = intersect_closest_brute(geom, o, d, 1e-4, 3.4e38)
+    got = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, True,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+
+
+def test_pallas_march_respects_tmax_window():
+    geom = _geom(n_tris=300, seed=21)
+    o, d = random_rays(256, seed=23)
+    full = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                   interpret=True)
+    t_cut = 0.45
+    cut = _intersect_march_pallas(geom, o, d, 1e-4, t_cut, False,
+                                  interpret=True)
+    v_full = np.asarray(full.valid)
+    v_cut = np.asarray(cut.valid)
+    t_full = np.asarray(full.t)
+    # every hit within the window must still be found, none beyond it
+    want = v_full & (t_full < t_cut)
+    np.testing.assert_array_equal(v_cut, want)

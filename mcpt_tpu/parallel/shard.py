@@ -132,7 +132,8 @@ def apply_params(scene, p):
 
 
 def make_train_step(integ, spp: int, mesh: Mesh,
-                    families: tuple = ("textures",)):
+                    families: tuple = ("textures",),
+                    grad_chunks: int = 1):
     """Differentiable render step: returns `step(scene, camera, pixel_idx,
     target) -> (loss, grads)` where grads cover the requested parameter
     `families` (see PARAM_FAMILIES) — the BASELINE.json north-star
@@ -140,6 +141,13 @@ def make_train_step(integ, spp: int, mesh: Mesh,
 
     pixel_idx/target must be sharded over 'devices' (or any [N]/[N,3]
     arrays when jitted with shardings).
+
+    grad_chunks > 1 splits each device's pixel shard into that many
+    `lax.scan` steps with a per-chunk grad psum, so the all-reduce of
+    chunk k can overlap the backward pass of chunk k+1 (the scaling-book
+    comms/compute-overlap recipe; matters once grads cross DCN in the
+    multi-host path).  The summed result is bit-comparable to
+    grad_chunks=1 up to float re-association.
     """
 
     @functools.partial(
@@ -151,20 +159,44 @@ def make_train_step(integ, spp: int, mesh: Mesh,
     )
     def step(scene, camera, pixel_idx, target):
         params = select_params(scene, families)
+        n_local = pixel_idx.shape[0]
+        n_global = n_local * mesh.devices.size * 3
 
-        def loss_fn(p):
-            scene_p = apply_params(scene, p)
-            img = render_pixels(
-                scene_p, camera, integ, pixel_idx, spp, differentiable=True
+        def chunk_loss_and_psummed_grad(p, idx_c, tgt_c):
+            def loss_fn(p_):
+                scene_p = apply_params(scene, p_)
+                img = render_pixels(
+                    scene_p, camera, integ, idx_c, spp,
+                    differentiable=True,
+                )
+                # sum here, normalized by the GLOBAL element count;
+                # psum completes the global mean
+                return jnp.sum((img - tgt_c) ** 2) / n_global
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            return jax.lax.psum(loss, "devices"), jax.lax.psum(
+                grads, "devices"
             )
-            # mean over the GLOBAL element set (pixels x 3 channels):
-            # local sum / global count, psum'd below
-            n_global = pixel_idx.shape[0] * mesh.devices.size * 3
-            return jnp.sum((img - target) ** 2) / n_global
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, "devices")
-        grads = jax.lax.psum(grads, "devices")
+        if grad_chunks <= 1 or n_local % grad_chunks:
+            return chunk_loss_and_psummed_grad(params, pixel_idx, target)
+
+        idx_cs = pixel_idx.reshape(grad_chunks, n_local // grad_chunks)
+        tgt_cs = target.reshape(grad_chunks, n_local // grad_chunks, 3)
+
+        def scan_body(carry, xs):
+            loss_acc, grad_acc = carry
+            loss_c, grads_c = chunk_loss_and_psummed_grad(params, *xs)
+            return (
+                loss_acc + loss_c,
+                jax.tree.map(jnp.add, grad_acc, grads_c),
+            ), None
+
+        zero = (
+            jnp.zeros((), jnp.float32),
+            jax.tree.map(jnp.zeros_like, params),
+        )
+        (loss, grads), _ = jax.lax.scan(scan_body, zero, (idx_cs, tgt_cs))
         return loss, grads
 
     return jax.jit(step)

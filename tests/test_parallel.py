@@ -79,3 +79,22 @@ def test_grad_matches_finite_difference(setup):
 
     g_fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
     assert g_auto == pytest.approx(g_fd, rel=5e-2, abs=1e-5)
+
+
+def test_grad_chunked_matches_unchunked(setup):
+    """scan-chunked per-chunk-psum grads (comm/compute overlap path)
+    match the single-psum step up to float re-association."""
+    cfg, scene, camera, integ = setup
+    mesh = make_mesh()
+    n_pix = 16 * 16
+    pixel_idx = jnp.arange(n_pix, dtype=jnp.int32)
+    target = jnp.zeros((n_pix, 3), jnp.float32)
+    step1 = make_train_step(integ, spp=2, mesh=mesh)
+    step4 = make_train_step(integ, spp=2, mesh=mesh, grad_chunks=4)
+    loss1, g1 = step1(scene, camera, pixel_idx, target)
+    loss4, g4 = step4(scene, camera, pixel_idx, target)
+    np.testing.assert_allclose(float(loss1), float(loss4), rtol=1e-5)
+    for k in g1:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g4[k]), rtol=1e-4, atol=1e-7
+        )

@@ -83,30 +83,74 @@ def render_pixels(scene: SceneData, camera: Camera, integ, pixel_idx,
     return acc / spp
 
 
-@functools.partial(jax.jit, static_argnames=("integ", "spp", "spp_total"))
-def render_tile(scene: SceneData, camera: Camera, integ: IntegratorInfo,
-                pixel_idx, spp: int, frame_base=0, spp_total=None,
-                sample_offset=0):
-    """Jitted single-device tile renderer (`frame_base`/`sample_offset`
-    are traced so chunked accumulation reuses one compilation)."""
+def _render_tile_impl(scene: SceneData, camera: Camera,
+                      integ: IntegratorInfo, pixel_idx, spp: int,
+                      frame_base=0, spp_total=None, sample_offset=0):
     return render_pixels(
         scene, camera, integ, pixel_idx, spp, frame_base,
         spp_total=spp_total, sample_offset=sample_offset,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("integ", "spp", "spp_total"))
-def render_tile_regen(scene: SceneData, camera: Camera,
-                      integ: IntegratorInfo, pixel_idx, spp: int,
-                      frame_base=0, spp_total=None, sample_offset=0):
-    """Jitted tile renderer on the fused regeneration wavefront
-    (integrators.path.shade_regen) — path integrator only."""
+def _render_tile_regen_impl(scene: SceneData, camera: Camera,
+                            integ: IntegratorInfo, pixel_idx, spp: int,
+                            frame_base=0, spp_total=None, sample_offset=0):
     film, _ = path_integrator.shade_regen(
         scene, camera=camera, integ=integ, pixel_idx=pixel_idx, spp=spp,
         frame_base=frame_base, spp_total=spp_total,
         sample_offset=sample_offset,
     )
     return film
+
+
+_TILE_STATIC = ("integ", "spp", "spp_total")
+
+#: Jitted single-device tile renderer (`frame_base`/`sample_offset` are
+#: traced so chunked accumulation reuses one compilation).
+render_tile = functools.partial(
+    jax.jit, static_argnames=_TILE_STATIC
+)(_render_tile_impl)
+
+#: Jitted tile renderer on the fused regeneration wavefront
+#: (integrators.path.shade_regen) — path integrator only.
+render_tile_regen = functools.partial(
+    jax.jit, static_argnames=_TILE_STATIC
+)(_render_tile_regen_impl)
+
+
+# The axon remote TPU compiler SIGILLs deterministically inside its
+# priority-fusion cost model on certain programs (round-1/2 example:
+# rough-diffuse NEE against an emissive-disk light — mercury/
+# rough_diffuse.xml).  When a tile compile dies that way, the renderer
+# retries the tile with these per-compile XLA option overrides
+# (compile-request proto, so they survive the service's env scrubbing).
+# Override with MCPT_XLA_FALLBACK_OPTS="k=v;k2=v2"; set empty to disable.
+_FALLBACK_DEFAULT = "xla_disable_hlo_passes=fusion"
+_fallback_cache: dict = {}
+
+
+def _tile_fallback(engine: str):
+    import os
+
+    spec = os.environ.get("MCPT_XLA_FALLBACK_OPTS", _FALLBACK_DEFAULT)
+    if not spec:
+        return None
+    key = (engine, spec)
+    if key not in _fallback_cache:
+        opts = dict(kv.split("=", 1) for kv in spec.split(";"))
+        impl = (_render_tile_regen_impl if engine == "regen"
+                else _render_tile_impl)
+        _fallback_cache[key] = jax.jit(
+            impl, static_argnames=_TILE_STATIC, compiler_options=opts
+        )
+    return _fallback_cache[key]
+
+
+def _is_compiler_crash(err: Exception) -> bool:
+    msg = str(err)
+    return "remote_compile" in msg and (
+        "SIGILL" in msg or "signal" in msg or "INTERNAL" in msg
+    )
 
 
 class Renderer:
@@ -165,10 +209,27 @@ class Renderer:
             acc = np.zeros((end - start, 3), np.float32)
             s_done = 0
             for s in chunks:
-                out = tile_fn(
-                    self.scene, cam, integ, idx, s, frame_base,
-                    spp_total=spp, sample_offset=s_done,
-                )
+                try:
+                    out = tile_fn(
+                        self.scene, cam, integ, idx, s, frame_base,
+                        spp_total=spp, sample_offset=s_done,
+                    )
+                except jax.errors.JaxRuntimeError as err:
+                    fb = _tile_fallback(engine)
+                    if fb is None or not _is_compiler_crash(err):
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        "remote TPU compile crashed; retrying tile with "
+                        "XLA fallback options (see renderer.py): "
+                        f"{type(err).__name__}"
+                    )
+                    tile_fn = fb
+                    out = tile_fn(
+                        self.scene, cam, integ, idx, s, frame_base,
+                        spp_total=spp, sample_offset=s_done,
+                    )
                 acc += np.asarray(out)[: end - start] * s
                 s_done += s
                 done_work += (end - start) * s

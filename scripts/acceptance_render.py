@@ -21,6 +21,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 SCENES = "/root/reference/resources/scene"
 RESULTS = "/root/reference/resources/results"
 OUT = os.path.join(REPO, "acceptance")
@@ -56,7 +57,9 @@ cfg.camera.height //= scale
 cfg.integrator.sample_clamp = clamp
 r = Renderer(cfg)
 t0 = time.time()
-img = r.render(spp=spp, tile=1 << 16, spp_chunk=8)
+import os as _os
+tile = int(_os.environ.get("MCPT_ACC_TILE", 1 << 16))
+img = r.render(spp=spp, tile=tile, spp_chunk=8)
 jax.block_until_ready(img)
 np.savez_compressed(npz, img=np.asarray(img), wall_s=time.time() - t0,
                     spp=spp, clamp=clamp)
@@ -100,6 +103,44 @@ def metrics(img, name, exr_rel):
     return out
 
 
+def run_case(name, rel, own_png, exr, clamp, args, log):
+    import numpy as np
+
+    tag = f"{name}_clamp{clamp:g}_spp{args.spp}_s{args.scale}"
+    npz = os.path.join(OUT, tag + ".npz")
+    if os.path.exists(npz):
+        print(f"[skip] {tag} exists", flush=True)
+    else:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", WORKER, REPO,
+                 os.path.join(SCENES, rel), str(clamp),
+                 str(args.spp), str(args.scale), npz],
+                capture_output=True, timeout=args.timeout, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            rec = {"scene": name, "clamp": clamp, "spp": args.spp,
+                   "error": f"timeout {args.timeout}s"}
+            print(json.dumps(rec), flush=True)
+            with open(log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            return
+        if p.returncode != 0:
+            rec = {"scene": name, "clamp": clamp, "spp": args.spp,
+                   "error": (p.stderr or p.stdout)[-400:].strip()}
+            print(json.dumps(rec), flush=True)
+            with open(log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            return
+    d = np.load(npz)
+    rec = {"scene": name, "clamp": clamp, "spp": args.spp,
+           "scale": args.scale, "wall_s": round(float(d["wall_s"]), 1)}
+    rec.update(metrics(d["img"], own_png, exr))
+    print(json.dumps(rec), flush=True)
+    with open(log, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=256)
@@ -108,50 +149,30 @@ def main():
                     help="divide native resolution by this")
     ap.add_argument("--clamps", nargs="+", type=float, default=[0.0, 1.0])
     ap.add_argument("--timeout", type=int, default=3000)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="concurrent scene subprocesses: compiles run on "
+                    "the remote AOT service (one helper per request) so "
+                    "they overlap; executions serialize on the worker")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
 
-    import numpy as np
-
     log = os.path.join(OUT, "acceptance_results.jsonl")
-    for name, rel, own_png, exr in CASES:
-        if args.scene and args.scene != name:
-            continue
-        for clamp in args.clamps:
-            tag = f"{name}_clamp{clamp:g}_spp{args.spp}_s{args.scale}"
-            npz = os.path.join(OUT, tag + ".npz")
-            if os.path.exists(npz):
-                print(f"[skip] {tag} exists", flush=True)
-            else:
-                t0 = time.time()
-                try:
-                    p = subprocess.run(
-                        [sys.executable, "-c", WORKER, REPO,
-                         os.path.join(SCENES, rel), str(clamp),
-                         str(args.spp), str(args.scale), npz],
-                        capture_output=True, timeout=args.timeout, text=True,
-                    )
-                except subprocess.TimeoutExpired:
-                    rec = {"scene": name, "clamp": clamp, "spp": args.spp,
-                           "error": f"timeout {args.timeout}s"}
-                    print(json.dumps(rec), flush=True)
-                    with open(log, "a") as f:
-                        f.write(json.dumps(rec) + "\n")
-                    continue
-                if p.returncode != 0:
-                    rec = {"scene": name, "clamp": clamp, "spp": args.spp,
-                           "error": (p.stderr or p.stdout)[-400:].strip()}
-                    print(json.dumps(rec), flush=True)
-                    with open(log, "a") as f:
-                        f.write(json.dumps(rec) + "\n")
-                    continue
-            d = np.load(npz)
-            rec = {"scene": name, "clamp": clamp, "spp": args.spp,
-                   "scale": args.scale, "wall_s": round(float(d["wall_s"]), 1)}
-            rec.update(metrics(d["img"], own_png, exr))
-            print(json.dumps(rec), flush=True)
-            with open(log, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+    work = [
+        (name, rel, own_png, exr, clamp)
+        for name, rel, own_png, exr in CASES
+        if not args.scene or args.scene == name
+        for clamp in args.clamps
+    ]
+    if args.jobs <= 1:
+        for w in work:
+            run_case(*w, args, log)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=args.jobs) as ex:
+        futs = [ex.submit(run_case, *w, args, log) for w in work]
+        for f in futs:
+            f.result()
 
 
 if __name__ == "__main__":

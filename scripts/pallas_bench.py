@@ -29,9 +29,10 @@ def main():
 
     rs = np.random.RandomState(0)
     n = 1 << 14
+    # origins INSIDE the box so most rays hit (box spans ~[0,556]^3)
     o = jnp.asarray(
-        np.array([278, 274, -750], np.float32)[None]
-        + rs.uniform(-50, 50, (n, 3)).astype(np.float32)
+        np.array([278, 274, 280], np.float32)[None]
+        + rs.uniform(-150, 150, (n, 3)).astype(np.float32)
     )
     d = jnp.asarray(
         rs.normal(size=(n, 3)).astype(np.float32)

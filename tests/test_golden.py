@@ -95,3 +95,13 @@ def test_volumetric_caustic_matches_reference_own_render():
                   depth=8, clamp=1.0)
     g = _own_golden("volumetric-caustic_isotropic", 64)
     assert _display_relmse(img, g) < 0.12
+
+
+def test_lte_orb_silver_matches_reference_own_render():
+    """Conductor + plastic orb under an area light (mesh scene -> march
+    traversal path) vs the reference's committed render (GOLDEN.md r1:
+    0.065 at 128px/32spp).  Low spp: CPU CI gate; threshold covers the
+    noise."""
+    img = _render(f"{SCENES}/lte-orb/silver.xml", spp=8)
+    g = _own_golden("lte-orb_silver", 64)
+    assert _display_relmse(img, g) < 0.2

@@ -219,9 +219,10 @@ def quadric_attrs(q: QuadricTables, kinds, idx, pos_w):
             tan_l = jnp.stack(
                 [pl[..., 0], pl[..., 1], jnp.zeros_like(rad)], -1
             ) / rad[..., None]
-            n_w = normalize(
-                jnp.broadcast_to(q.nmat[i][:, 2], pl.shape)
-            )
+            # normalize at scalar level THEN broadcast: a zero-variance
+            # per-lane normalize chain trips the remote compiler's
+            # fusion cost model (see sample_quadric_row disk note)
+            n_w = jnp.broadcast_to(normalize(q.nmat[i][:, 2]), pl.shape)
             b_w = normalize(cross(n_w, _xform_dir(q.to_world[i], tan_l)))
         else:  # KIND_CYLINDER
             length = q.params[i, 1]
@@ -232,8 +233,8 @@ def quadric_attrs(q: QuadricTables, kinds, idx, pos_w):
             ) / jnp.maximum(r, 1e-12)
             n_w = normalize(nl @ q.nmat[i].T)
             # tangent along the axis (cylinder.cpp:67-69)
-            axis_w = normalize(
-                jnp.broadcast_to(q.nmat[i][:, 2], pl.shape)
+            axis_w = jnp.broadcast_to(
+                normalize(q.nmat[i][:, 2]), pl.shape
             )
             b_w = normalize(cross(n_w, axis_w))
 
@@ -279,9 +280,18 @@ def sample_quadric_row(q: QuadricTables, i: int, kind: int, xi0, xi1):
              jnp.zeros_like(rr)], -1
         )
         uv = jnp.stack([rr, xi1], -1)
-        nl = jnp.broadcast_to(
-            jnp.array([0.0, 0.0, 1.0], jnp.float32), pl.shape
+        # the disk normal is CONSTANT: fold the frame transform at
+        # scalar level and broadcast the result, instead of pushing a
+        # broadcast [0,0,1] through a per-lane matmul+normalize.  The
+        # zero-variance per-lane chain is also the round-2 bisected
+        # trigger of the axon remote compiler's priority-fusion
+        # cost-model SIGILL (mercury/rough_diffuse.xml — see PARITY.md);
+        # [0,0,1] @ nmat.T is just nmat's third column.
+        pos = _xform_point(q.to_world[i], pl)
+        nrm = jnp.broadcast_to(
+            normalize(q.nmat[i][:, 2]) * q.sign[i], pl.shape
         )
+        return pos, nrm, uv
     else:  # KIND_CYLINDER
         length = q.params[i, 1]
         phi = TWO_PI * xi0

@@ -49,11 +49,13 @@ cfg = load_config(xml)
 cfg.camera.width = cfg.camera.height = res
 cfg.integrator.depth_max = depth
 r = Renderer(cfg)
+import os as _os
+tile = int(_os.environ.get("MCPT_BENCH_TILE", 1 << 16))
 t0 = time.time()
-r.render(spp=spp, tile=1 << 16, spp_chunk=8)           # compile + warm
+r.render(spp=spp, tile=tile, spp_chunk=8)           # compile + warm
 compile_s = time.time() - t0
 t0 = time.time()
-img = r.render(spp=spp, tile=1 << 16, spp_chunk=8, frame_base=1)
+img = r.render(spp=spp, tile=tile, spp_chunk=8, frame_base=1)
 jax.block_until_ready(img)
 dt = time.time() - t0
 samples = res * res * spp

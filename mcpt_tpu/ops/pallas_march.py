@@ -12,7 +12,7 @@ of [N, ls, 12] rows.  This kernel keeps everything block-local in VMEM:
   * phase A: slab-test the block against all Lm chunk AABBs in [R, CT]
     tiles, reducing to a per-chunk block-min entry distance `ent[Lm]`;
   * phase B: `lax.while_loop` — pick the nearest unprocessed chunk
-    (scalar masked-iota argmin over `ent`), DMA that chunk's [12, ls]
+    (scalar masked-iota argmin over `ent`), DMA that chunk's [16, ls]
     triangle rows HBM→VMEM by SCALAR index (one dense copy, no per-lane
     gather), dense [R, ls] Möller–Trumbore, mask the chunk off.  The
     loop ends when the nearest remaining chunk entry is beyond every
@@ -23,8 +23,11 @@ Layouts (TPU tiling: last dim is 128 lanes):
   rays  [G, 8, R]    rows = (ox oy oz dx dy dz tmin tmax)
   cmin  [4, Lm]      chunk AABB min, xyz rows + pad row, Lm chunks in lanes
   cmax  [4, Lm]
-  tris  [Lm, 12, ls] packed chunk triangles (HBM-resident; row layout =
-                     p0 xyz / e1 xyz / e2 xyz / opaque / pad / pad)
+  tris  [Lm, 16, ls] packed chunk triangles (HBM-resident; row layout =
+                     p0 xyz / e1 xyz / e2 xyz / opaque / prim-id / pad x5;
+                     16 rows because the per-chunk DMA extent must be
+                     whole (8,128) f32 tiles — a 12-row copy faults the
+                     chip, scripts/march_fault_probe.py)
   outs  [G, R] each (t, prim, v, w, flags);  flags bit0 = backface,
                      bit1 = valid — identical to ops.pallas_dense.
 """
@@ -83,8 +86,11 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         t_near = jnp.maximum(jnp.maximum(nx, ny), nz)
         t_enter = jnp.maximum(t_near, t_min)
         t_exit = jnp.minimum(jnp.minimum(jnp.minimum(fx, fy), fz), t_max)
+        # the 1e30 cap drops padding chunks (parked at 3e37, geometry.py)
+        # so all-miss lanes don't grind through them
         ent = jnp.where(
-            t_enter <= t_exit, jnp.maximum(t_enter, 0.0), _INF
+            (t_enter <= t_exit) & (t_enter < 1e30),
+            jnp.maximum(t_enter, 0.0), _INF,
         )  # [R, CT]
         ent_ref[0:1, sl] = jnp.min(ent, axis=0, keepdims=True)
         return _
@@ -130,7 +136,7 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         )
         dma.start()
         dma.wait()
-        tri = tri_vmem[...]  # [12, ls]
+        tri = tri_vmem[...]  # [16, ls]
 
         def row(i):
             return tri[i, :].reshape(1, ls)
@@ -139,6 +145,7 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         e1x, e1y, e1z = row(3), row(4), row(5)
         e2x, e2y, e2z = row(6), row(7), row(8)
         opq = row(9)
+        pid = row(10)  # global prim id as f32 (geometry.py SAH chunks)
 
         pvx = dy * e2z - dz * e2y
         pvy = dz * e2x - dx * e2z
@@ -173,10 +180,11 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1, keepdims=True)
         wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1, keepdims=True)
         detk = jnp.sum(jnp.where(one_hot, det, 0.0), axis=1, keepdims=True)
+        pidk = jnp.sum(jnp.where(one_hot, pid, 0.0), axis=1, keepdims=True)
 
         best = (
             jnp.where(take, tk, t_best),
-            jnp.where(take, ci * ls + k, prim_best),
+            jnp.where(take, pidk.astype(jnp.int32), prim_best),
             jnp.where(take, vk, v_best),
             jnp.where(take, wk, w_best),
             jnp.where(take, (detk < 0).astype(jnp.float32), neg_best),
@@ -198,7 +206,7 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
 def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
                 interpret: bool = False):
     """rays: [G, 8, R]; cmin/cmax: [4, Lm] (Lm a multiple of CHUNK_TILE,
-    padding chunks at 3e37); tris: [Lm, 12, ls].  Returns (t, prim, v,
+    padding chunks at 3e37); tris: [Lm, 16, ls].  Returns (t, prim, v,
     w, flags) each [G, R]."""
     g, _, r = rays.shape
     lm = cmin.shape[1]
@@ -230,7 +238,7 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, lm), jnp.float32),   # ent
-            pltpu.VMEM((12, ls), jnp.float32),  # DMA'd chunk triangles
+            pltpu.VMEM((tris.shape[1], ls), jnp.float32),  # DMA'd chunk rows
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

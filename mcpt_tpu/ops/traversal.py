@@ -256,7 +256,6 @@ def _intersect_march(geom, o, d, t_min, t_max, any_hit: bool):
 
     n = o.shape[0]
     lm = geom.n_march_leaves
-    ls = geom.march_leaf
     lane = jnp.arange(n)
 
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -271,7 +270,12 @@ def _intersect_march(geom, o, d, t_min, t_max, any_hit: bool):
         t_min[:, None],
         t_max[:, None],
     )  # [N, Lm]
-    t_enter = jnp.where(hit_c, jnp.maximum(t_enter, 0.0), jnp.inf)
+    # 1e30 cap: padding chunks are parked at 3e37 point AABBs
+    # (geometry.py) whose entry distances are finite — drop them so
+    # all-miss lanes don't march through padding
+    t_enter = jnp.where(
+        hit_c & (t_enter < 1e30), jnp.maximum(t_enter, 0.0), jnp.inf
+    )
 
     best0 = (
         t_max,
@@ -323,10 +327,13 @@ def _intersect_march(geom, o, d, t_min, t_max, any_hit: bool):
         vk = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1)
         wk = jnp.sum(jnp.where(one_hot, w, 0.0), axis=1)
         dk = jnp.sum(jnp.where(one_hot, det_inv, 0.0), axis=1)
+        # channel 10 carries the GLOBAL prim id (chunk membership is a
+        # median-split order, not the sorted-array order — geometry.py)
+        pk = jnp.sum(jnp.where(one_hot, rows[..., 10], 0.0), axis=1)
 
         best = (
             jnp.where(take, tk, t_best),
-            jnp.where(take, li * ls + k, prim_best),
+            jnp.where(take, pk.astype(jnp.int32), prim_best),
             jnp.where(take, vk, v_best),
             jnp.where(take, wk, w_best),
             jnp.where(take, dk < 0, in_best),
@@ -733,7 +740,23 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         [pad_c(geom.march_max, 3.0e37).T,
          jnp.zeros((1, lm_pad), jnp.float32)]
     )
-    tris = pad_c(geom.march_tris, 0.0).swapaxes(1, 2)  # [Lm, 12, ls]
+    tris = pad_c(geom.march_tris, 0.0)  # [Lm, ls, 12]
+    # The per-chunk DMA extent must be whole (8, 128) f32 tiles: a
+    # 128-unaligned lane dim fails the Mosaic verifier, and a sublane
+    # dim that is not a multiple of 8 CRASHES the TPU worker at run
+    # time (bisected by scripts/march_fault_probe.py: 12-row copy
+    # faults, 16-row copy is fine).  Pad chunk size -> x128 with
+    # degenerate rows and the 12 attribute rows -> 16.  The VPU runs
+    # [R, 128]-lane tiles regardless, so the lane pad costs ~nothing.
+    ls_pad = -(-ls // 128) * 128
+    if ls_pad != ls:
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((lm_pad, ls_pad - ls, 12), tris.dtype)], axis=1
+        )
+    tris = tris.swapaxes(1, 2)  # [Lm, 12, ls_pad]
+    tris = jnp.concatenate(
+        [tris, jnp.zeros((lm_pad, 4, ls_pad), tris.dtype)], axis=1
+    )  # [Lm, 16, ls_pad]
 
     t, prim, v, w, flags = march_sweep(
         rays, cmin, cmax, tris, any_hit=any_hit, interpret=interpret

@@ -48,10 +48,11 @@ class Geometry:
     # leaf fetched by scalar index — [n_pad_leaves, leaf_size, 12] with
     # rows (p0.xyz, e1.xyz, e2.xyz, opaque, 0, 0)
     packed_tris: jnp.ndarray
-    # coarse Morton-chunk pack for the leaf-march traversal (large
-    # scenes): consecutive Morton-sorted prims grouped into chunks of
-    # `march_leaf`, with per-chunk AABBs — no tree, culling is a dense
-    # [rays x chunks] slab test (see ops/traversal._intersect_march)
+    # coarse binned-SAH chunk pack for the leaf-march traversal (large
+    # scenes): <=2048 spatially tight chunks of <= `march_leaf` prims,
+    # with per-chunk AABBs — no tree, culling is a dense [rays x chunks]
+    # slab test (see ops/traversal._intersect_march).  Row channel 10 =
+    # global prim id (chunk order != sorted-array order).
     march_tris: jnp.ndarray  # [Lm, march_leaf, 12]
     march_min: jnp.ndarray   # [Lm, 3]
     march_max: jnp.ndarray   # [Lm, 3]
@@ -62,6 +63,68 @@ class Geometry:
     n_real_prims: int = flax.struct.field(pytree_node=False)
     n_march_leaves: int = flax.struct.field(pytree_node=False, default=1)
     march_leaf: int = flax.struct.field(pytree_node=False, default=1)
+
+
+def _sah_chunks(cent, tmin, tmax, leaf, nbins=16):
+    """Top-down binned-SAH partition of prims into chunks of <= `leaf`.
+
+    The march traversal's cost per ray is (chunks entered) x (sweep of
+    `leaf` tris), so the split objective is the classic surface-area
+    heuristic: min SA(L)*|L| + SA(R)*|R| over 16 centroid bins on the
+    longest axis (csrt bvh_builder.cpp's object split, flattened to
+    chunk granularity; longest-axis-only measures within ~8% of 3-axis
+    and builds ~6x faster — 270k-prim dining-room in 2.7 s).
+    Returns a list of int64 index arrays into the input prim order.
+    """
+    out = []
+    stack = [np.arange(cent.shape[0], dtype=np.int64)]
+    while stack:
+        ix = stack.pop()
+        if ix.size <= leaf:
+            out.append(ix)
+            continue
+        c = cent[ix]
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        ax = int(np.argmax(hi - lo))
+        if hi[ax] - lo[ax] < 1e-12:  # all centroids coincide
+            stack += [ix[: ix.size // 2], ix[ix.size // 2 :]]
+            continue
+        b = np.minimum(
+            ((c[:, ax] - lo[ax]) / (hi[ax] - lo[ax]) * nbins).astype(
+                np.int32
+            ),
+            nbins - 1,
+        )
+        cnt = np.bincount(b, minlength=nbins)
+        bmin = np.full((nbins, 3), np.inf, np.float32)
+        bmax = np.full((nbins, 3), -np.inf, np.float32)
+        for k in range(3):
+            np.minimum.at(bmin[:, k], b, tmin[ix, k])
+            np.maximum.at(bmax[:, k], b, tmax[ix, k])
+        cl = np.cumsum(cnt)[:-1]
+        cr = ix.size - cl
+        pmin = np.minimum.accumulate(bmin, 0)
+        pmax = np.maximum.accumulate(bmax, 0)
+        smin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
+        smax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
+
+        def sa(mn, mx):
+            d = np.clip(mx - mn, 0, None)
+            return 2 * (
+                d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]
+            )
+
+        cost = np.where(
+            (cl > 0) & (cr > 0),
+            sa(pmin, pmax)[:-1] * cl + sa(smin, smax)[1:] * cr,
+            np.inf,
+        )
+        i = int(np.argmin(cost))
+        if not np.isfinite(cost[i]):
+            stack += [ix[: ix.size // 2], ix[ix.size // 2 :]]
+            continue
+        stack += [ix[b <= i], ix[b > i]]
+    return out
 
 
 def _gram_schmidt_frames(normals: np.ndarray, positions, texcoords):
@@ -151,35 +214,38 @@ def commit_geometry(
     flat_packed = packed
     packed = packed.reshape(bvh.n_pad_leaves, leaf_size, 12)
 
-    # --- coarse march pack: chunk size keeps the [rays x chunks] cull
-    # matrix small (<= ~2048 chunks) while chunks stay Morton-coherent
-    n_pad = pos_s.shape[0]
+    # --- coarse march pack: top-down binned-SAH chunking.
+    # Chunk membership is decoupled from the Morton/BVH order (channel 10
+    # of each packed row carries the GLOBAL sorted-array prim index, read
+    # back by the march winner extraction), so chunks can be spatially
+    # tight.  Measured on 192x108 camera primaries, mean chunks entered
+    # per ray vs the round-1 fixed Morton-order groups: matpreview
+    # 17.5 -> 6.5, classroom 19.4 -> 5.9 (max 66 -> 21) — march
+    # iterations scale with exactly this count.  This is csrt's binned
+    # SAH object split (bvh_builder.cpp) re-targeted at the flat chunk
+    # granularity a TPU dense cull wants, instead of per-node.
+    # sorted-slot tri bounds / centroids (real prims = slots [0, p))
+    sv0 = pos_s[:p, 0]
+    sv1 = pos_s[:p, 1]
+    sv2 = pos_s[:p, 2]
+    s_min = np.minimum(np.minimum(sv0, sv1), sv2)
+    s_max = np.maximum(np.maximum(sv0, sv1), sv2)
+    s_cent = 0.5 * (s_min + s_max)
     march_leaf = 64
-    while (n_pad + march_leaf - 1) // march_leaf > 2048:
+    chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)
+    while len(chunks) > 2048:
         march_leaf *= 2
-    n_march = (n_pad + march_leaf - 1) // march_leaf
-    pad_to = n_march * march_leaf
-    mt = np.zeros((pad_to, 12), np.float32)
-    mt[:n_pad] = flat_packed
-    march_tris = mt.reshape(n_march, march_leaf, 12)
-    # chunk AABBs over REAL prims only (padding rows are degenerate at 0)
-    pmin = np.full((pad_to, 3), np.inf, np.float32)
-    pmax = np.full((pad_to, 3), -np.inf, np.float32)
-    real = np.zeros(pad_to, np.bool_)
-    real[:n_pad] = bvh.order >= 0
-    v0 = mt[:, 0:3]
-    v1 = v0 + mt[:, 3:6]
-    v2 = v0 + mt[:, 6:9]
-    tri_min = np.minimum(np.minimum(v0, v1), v2)
-    tri_max = np.maximum(np.maximum(v0, v1), v2)
-    pmin[real] = tri_min[real]
-    pmax[real] = tri_max[real]
-    march_min = pmin.reshape(n_march, march_leaf, 3).min(axis=1)
-    march_max = pmax.reshape(n_march, march_leaf, 3).max(axis=1)
-    # all-padding chunks: collapse to a far-away point AABB (never hit)
-    empty = ~real.reshape(n_march, march_leaf).any(axis=1)
-    march_min[empty] = 3.0e37
-    march_max[empty] = 3.0e37
+        chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)
+    n_march = len(chunks)
+    march_tris = np.zeros((n_march, march_leaf, 12), np.float32)
+    march_min = np.full((n_march, 3), 3.0e37, np.float32)  # empty = far point
+    march_max = np.full((n_march, 3), 3.0e37, np.float32)
+    for j, ix in enumerate(chunks):
+        rows = flat_packed[ix]
+        rows[:, 10] = ix.astype(np.float32)  # global prim id (exact < 2^24)
+        march_tris[j, : ix.size] = rows
+        march_min[j] = s_min[ix].min(axis=0)
+        march_max[j] = s_max[ix].max(axis=0)
 
     return Geometry(
         p0=jnp.asarray(pos_s[:, 0]),

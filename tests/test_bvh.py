@@ -238,3 +238,36 @@ def test_march_t_window_and_opacity():
     t_cut = jnp.where(full.valid, full.t * 0.5, 1e-3)
     cut = _intersect_march(geom, o, d, 1e-4, t_cut, False)
     assert not np.asarray(cut.valid & full.valid & (cut.t >= full.t)).any()
+
+
+def test_sah_march_chunk_pack_structure():
+    """Binned-SAH chunk pack invariants (scene/geometry.py): every real
+    prim appears exactly once in channel 10, chunk AABBs contain their
+    member triangles, chunk count and membership respect the caps."""
+    n_tris = 5000
+    verts = random_soup(n_tris, seed=41)
+    geom = commit_geometry(verts, None, None, None, np.zeros(n_tris))
+    mt = np.asarray(geom.march_tris)  # [Lm, ls, 12]
+    cmin = np.asarray(geom.march_min)
+    cmax = np.asarray(geom.march_max)
+    assert geom.n_march_leaves <= 2048
+    assert mt.shape == (geom.n_march_leaves, geom.march_leaf, 12)
+
+    # filled rows = non-degenerate edges
+    filled = (np.abs(mt[..., 3:9]).sum(-1) > 0)
+    ids = mt[..., 10][filled].astype(np.int64)
+    assert ids.size == n_tris
+    assert np.array_equal(np.sort(ids), np.arange(n_tris))
+
+    v0 = mt[..., 0:3]
+    v1 = v0 + mt[..., 3:6]
+    v2 = v0 + mt[..., 6:9]
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    for j in range(geom.n_march_leaves):
+        f = filled[j]
+        if not f.any():
+            assert (cmin[j] > 1e30).all()  # empty chunk parked far away
+            continue
+        assert (tmin[j][f] >= cmin[j] - 1e-4).all()
+        assert (tmax[j][f] <= cmax[j] + 1e-4).all()

@@ -129,7 +129,9 @@ def main():
                 "metric": "Mrays/s",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
-                "vs_baseline": 1.0,
+                # ratio to the recorded round-1 number (BENCH_r01.json);
+                # the reference itself publishes nothing (BASELINE.md)
+                "vs_baseline": round(mrays / 8.794, 3),
                 "detail": {
                     "scene": scene_name,
                     "resolution": RES,

@@ -218,6 +218,15 @@ def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
     # camera vertex evaluates the incoming direction
     pdf_c, f_c, v_c = _bsdf_eval(scene, hit, dir_lc, wo)
     ok = ok & v_c & v_v
+    # connections require BOTH endpoints to be connectible (wide lobes);
+    # near-specular endpoints make the strategy fire ~never while the
+    # proxy MIS density still hands it O(1) weight — the complementary
+    # w_cont gate in shade() keeps the pairwise partition summing to 1
+    ok = (
+        ok
+        & bsdfs.is_connectible(scene.bsdf, scene.tex, vert.bsdf_id, vert.uv)
+        & bsdfs.is_connectible(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+    )
 
     # unweighted contribution: beta_in * (f_v / cos_in) * G * (f_c /
     # cos_x) with G = cos_prime * cos_x / d^2  (cos_x cancels f_c's
@@ -373,11 +382,22 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
 
         # down-weight the surviving camera continuation against the
         # area-measure connection strategies that can also construct the
-        # same transport paths (bdpt.cpp:269-283)
+        # same transport paths (bdpt.cpp:269-283) — but ONLY where the
+        # competing connection is actually enabled (_connect's
+        # connectible gate); a specular-chain edge has no alternative
+        # construction, so its continuation keeps full weight
         cos_cont = jnp.maximum(jnp.abs(dot(wi, hit2.normal)), 1e-4)
         pdf_area_cont = scene.map_inst_area_pdf[jnp.maximum(hit2.inst_id, 0)]
         pdf_direct_cont = pdf_area_cont * (t_safe * t_safe) / cos_cont
-        w_cont = mis_weight(pdf_b, pdf_direct_cont)
+        both_conn = (
+            bsdfs.is_connectible(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+            & bsdfs.is_connectible(
+                scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv
+            )
+        )
+        w_cont = jnp.where(
+            both_conn, mis_weight(pdf_b, pdf_direct_cont), 1.0
+        )
         beta = jnp.where(alive[..., None], beta * w_cont[..., None], beta)
 
         wo = wi

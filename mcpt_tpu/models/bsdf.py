@@ -1050,3 +1050,26 @@ def is_emitter(tables: BsdfTables, bid):
 
 def is_twosided(tables: BsdfTables, bid):
     return tables.twosided[jnp.maximum(bid, 0)]
+
+
+def is_connectible(tables: BsdfTables, tex, bid, uv, min_alpha: float = 0.05):
+    """Whether area-measure BDPT connections at this vertex are a usable
+    estimator: diffuse-dominated lobes always, pure microfacet lobes only
+    when the (max) NDF alpha is at least `min_alpha`.  Smooth variants
+    carry alpha=0.001 (csrt parser.cpp:896-899): a connection through
+    them fires with probability ~alpha^2 but with ~1/alpha^2 magnitude —
+    a pure firefly generator with no variance benefit — so the gate
+    removes the strategy and hands the unidirectional construction its
+    full pairwise MIS weight (the complementary w_cont gate in
+    integrators/bdpt.py keeps the partition summing to 1).  Measured on
+    volumetric-caustic/no_medium.xml (scripts/bdpt_variance.py)."""
+    b = jnp.maximum(bid, 0)
+    t = tables.btype[b]
+    diffuseish = (
+        (t == BsdfType.DIFFUSE)
+        | (t == BsdfType.ROUGH_DIFFUSE)
+        | (t == BsdfType.PLASTIC)
+    )
+    au = _scalar_tex(tex, tables.roughness_u_tid[b], uv, default=0.0)
+    av = _scalar_tex(tex, tables.roughness_v_tid[b], uv, default=0.0)
+    return diffuseish | (jnp.maximum(au, av) >= min_alpha)

@@ -52,6 +52,34 @@ def test_bdpt_matches_path_on_indirect_transport():
     assert 0.9 < ratio < 1.1, (img_b.mean(), img_p.mean())
 
 
+def test_bdpt_matches_path_through_specular_chain():
+    """Glass sphere between light and floor (the caustic path class).
+    Connection-based BDPT cannot construct specular chains — the
+    is_connectible MIS gate removes those never-firing strategies from
+    the partition and hands the unidirectional construction full weight.
+    This pins estimator agreement on the scene class no previous BDPT
+    test covered (diffuse-only boxes)."""
+    import numpy as np
+
+    from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
+
+    def cfg_for(itype):
+        cfg = make_box_scene(spp=512, res=8, depth_max=6)
+        glass = BsdfInfo(btype=BsdfType.DIELECTRIC, eta=1.5)
+        cfg.bsdfs.append(glass)
+        sphere = InstanceInfo(shape="sphere", radius=0.45, id_bsdf=2)
+        sphere.to_world = np.eye(4, dtype=np.float32)
+        sphere.to_world[:3, 3] = [0.0, 1.0, 0.0]  # between light and floor
+        cfg.instances.append(sphere)
+        cfg.integrator.itype = itype
+        return cfg
+
+    img_p = np.asarray(Renderer(cfg_for("path")).render(tile=64))
+    img_b = np.asarray(Renderer(cfg_for("bdpt")).render(tile=64))
+    ratio = img_b.mean() / img_p.mean()
+    assert 0.85 < ratio < 1.15, (img_b.mean(), img_p.mean())
+
+
 def test_bdpt_sees_emitters_directly():
     cfg = make_box_scene(spp=4, res=8, depth_max=3)
     cfg.integrator.itype = "bdpt"

@@ -39,6 +39,11 @@ def main(argv=None):
         help="accumulate film+spp into FILE; rerunning resumes from it "
              "(film/sample-count/RNG offset are the whole render state)",
     )
+    ap.add_argument(
+        "--serve", type=int, default=None, metavar="PORT",
+        help="live progressive preview over HTTP on PORT (the reference's "
+             "GLUT viewer, reimagined for a headless TPU host)",
+    )
     args = ap.parse_args(argv)
 
     from mcpt_tpu.render.renderer import Renderer
@@ -72,8 +77,15 @@ def main(argv=None):
         else:
             write_png(path, img)
 
+    server = None
+    if args.serve is not None:
+        from mcpt_tpu.render.preview import PreviewServer
+
+        server = PreviewServer(args.serve)
+        print(f"[info] live preview at http://0.0.0.0:{server.port}/")
+
     t0 = time.time()
-    if args.progressive > 0 or args.checkpoint:
+    if args.progressive > 0 or args.checkpoint or server is not None:
         import numpy as np
 
         total = config.camera.spp
@@ -97,6 +109,8 @@ def main(argv=None):
                 )
             if args.progressive:
                 save(np.asarray(acc), f"{stem}_{done:05d}spp{ext}")
+            if server is not None:
+                server.update(acc)
             print(f"[info] {done}/{total} spp  ({time.time() - t0:.1f}s)")
         img = acc
     else:

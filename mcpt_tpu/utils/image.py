@@ -37,7 +37,7 @@ def write_png(path: str, linear_rgb: np.ndarray) -> None:
     from PIL import Image
 
     srgb = np.clip(linear_to_srgb(linear_rgb), 0.0, 1.0)
-    u8 = (srgb * 255.0).astype(np.uint8)
+    u8 = (srgb * 255.0 + 0.5).astype(np.uint8)  # round: white -> 255
     Image.fromarray(u8, "RGB").save(path)
 
 

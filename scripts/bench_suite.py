@@ -25,6 +25,11 @@ SCENES = "/root/reference/resources/scene"
 # rays metric: closed scenes with RR(0.95@5) ~5.5; open scenes (envmap
 # escape) ~2.5; media scenes count null-collision segments ~4
 CONFIGS = [
+    # the canonical reference workload: 1024x1024, maxDepth 65
+    # (scene_v0.6.xml:5,14-18); spp kept at --spp so one run stays short.
+    # avg path length with RR(0.95@5): survival sum ~= 5 + 0.95/(1-0.95)
+    # capped by escape/absorption in a closed box ~ 13
+    ("cornell-canonical", "cornell-box/scene_v0.6.xml", 65, 13.0, 1024),
     ("cornell-box", "cornell-box/scene_v0.6.xml", 8, 5.5),
     ("dragon", "dragon/scene.xml", 8, 2.5),
     ("conductor", "matpreview/conductor.xml", 8, 2.5),
@@ -77,13 +82,15 @@ def main():
     args = ap.parse_args()
 
     rows = []
-    for name, rel, depth, avg_b in CONFIGS:
+    for cfg_row in CONFIGS:
+        name, rel, depth, avg_b = cfg_row[:4]
+        res = cfg_row[4] if len(cfg_row) > 4 else args.res
         if args.scene and args.scene != name:
             continue
         xml = os.path.join(SCENES, rel)
         try:
             out = subprocess.run(
-                [sys.executable, "-c", WORKER, REPO, xml, str(args.res),
+                [sys.executable, "-c", WORKER, REPO, xml, str(res),
                  str(args.spp), str(depth), str(avg_b)],
                 capture_output=True, timeout=args.timeout, text=True,
             )

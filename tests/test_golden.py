@@ -97,6 +97,38 @@ def test_volumetric_caustic_matches_reference_own_render():
     assert _display_relmse(img, g) < 0.12
 
 
+def test_matpreview_conductor_structure_matches_reference():
+    """matpreview conductor (60k-tri .serialized mesh -> march traversal,
+    HDR envmap importance sampling, smooth conductor).  The reference's
+    own render carries its global estimator-energy defect (GOLDEN.md
+    acceptance table: one display gain of ~0.75 explains the whole
+    matpreview residual), so this gate fits that single scalar and
+    bounds the STRUCTURAL residual (measured 0.054 at 40x30@8spp)."""
+    from mcpt_tpu.render.renderer import Renderer
+    from mcpt_tpu.scene.parser import load_config
+
+    cfg = load_config(f"{SCENES}/matpreview/conductor.xml")
+    w, h = 40, 30  # keeps the native 4:3 aspect
+    cfg.camera.width, cfg.camera.height = w, h
+    cfg.integrator.depth_max = 8
+    img = np.asarray(Renderer(cfg).render(spp=8, tile=w * h, spp_chunk=8))
+
+    from mcpt_tpu.utils.image import read_png_linear
+
+    g = read_png_linear(f"{RESULTS}/conductor.png")
+    gh, gw = g.shape[:2]
+    g = g[: h * (gh // h), : w * (gw // w)].reshape(
+        h, gh // h, w, gw // w, 3
+    ).mean((1, 3))
+
+    od = np.clip(img, 0.0, 1.0) ** (1 / 2.2)
+    rd = np.clip(g, 0.0, 1.0) ** (1 / 2.2)
+    gain = float((od * rd).sum() / (od * od).sum())
+    relmse = float(np.mean((gain * od - rd) ** 2 / (rd**2 + 1e-2)))
+    assert 0.6 < gain < 0.95, gain
+    assert relmse < 0.11, relmse
+
+
 def test_lte_orb_silver_matches_reference_own_render():
     """Conductor + plastic orb under an area light (mesh scene -> march
     traversal path) vs the reference's committed render (GOLDEN.md r1:

@@ -392,3 +392,219 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     else:
         state = lax.while_loop(cond, body, state)
     return state[1], state[-2]
+
+
+def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
+                frame_base=0, spp_total: int | None = None,
+                sample_offset=0):
+    """Fused spp x depth volumetric wavefront with ray regeneration —
+    the volpath counterpart of :func:`mcpt_tpu.integrators.path.
+    shade_regen` (see its docstring for the scheduling rationale; the
+    reference instead parks one CUDA thread per pixel for the full spp
+    loop, renderer.cpp:62-79).  Each iteration: refill dead lanes with
+    their next camera sample, trace, free-flight through the segment's
+    medium (volpath.cpp:44-62,117-183), then shade either the surface
+    or the medium vertex.  Estimator identical to :func:`shade` (same
+    per-vertex draw budget; per-sample Tea seeds, so images agree
+    statistically, not bitwise).  One deliberate deviation from
+    :func:`shade`: a primary segment that scatters in a medium before
+    escaping no longer ALSO adds the unattenuated escape radiance
+    (shade inherits that double-count from the reference's pre-flight
+    escape add, volpath.cpp:24-35 — unreachable in every shipped scene
+    since no camera sits inside a medium).
+
+    Returns (film [N, 3] = mean over spp, final seed)."""
+    from mcpt_tpu.render.camera import generate_rays
+
+    n = pixel_idx.shape[0]
+    if spp_total is None:
+        spp_total = spp
+    base = jnp.asarray(frame_base, jnp.uint32) + jnp.asarray(
+        sample_offset, jnp.uint32
+    )
+    n_nee = nee_draw_count(scene)
+    pdf_rr_rcp = 1.0 / integ.pdf_rr
+    no_lights = (
+        scene.n_emissive == 0
+        and not scene.emitter_rows
+        and scene.env_kind == "none"
+    )
+    depth_cut = 1 if (no_lights or integ.depth_max <= 1) else integ.depth_max
+
+    def fold(L, L_samp, mask):
+        Ls = L_samp
+        if integ.sample_clamp > 0:
+            Ls = jnp.minimum(Ls, integ.sample_clamp)
+        return L + jnp.where(mask[..., None], Ls, 0.0)
+
+    state0 = (
+        jnp.zeros((n,), jnp.int32),            # work_k: next sample index
+        jnp.zeros((n, 3), jnp.float32),        # L (sum over folded samples)
+        jnp.zeros((n, 3), jnp.float32),        # L_samp (current sample)
+        jnp.ones((n, 3), jnp.float32),         # beta
+        jnp.zeros((n, 3), jnp.float32),        # ray origin
+        jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0),  # ray dir
+        jnp.full((n,), 1e12, jnp.float32),     # pdf_mis
+        rng.pixel_seed(pixel_idx, base),       # seed (replaced at regen)
+        jnp.zeros((n,), jnp.bool_),            # alive
+        jnp.zeros((n,), jnp.int32),            # vert: vertices so far
+        jnp.zeros((n,), jnp.bool_),            # scattering: medium vertex
+        jnp.full((n,), -1, jnp.int32),         # cur_mid: active medium id
+    )
+
+    def cond(st):
+        work_k, alive = st[0], st[8]
+        return jnp.any(alive | (work_k < spp))
+
+    def body(st):
+        (work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert,
+         scattering, cur_mid) = st
+
+        # --- regenerate: dead lanes with samples left start the next one
+        fresh = ~alive & (work_k < spp)
+        L = fold(L, L_samp, fresh)
+        L_samp = jnp.where(fresh[..., None], 0.0, L_samp)
+        k = jnp.where(fresh, work_k, 0)
+        ku = k.astype(jnp.uint32)
+        u = (jnp.asarray(sample_offset, jnp.float32) + k.astype(jnp.float32)
+             ) / spp_total
+        v = rng.van_der_corput_base2(base + ku + jnp.uint32(1))
+        o_new, d_new = generate_rays(camera, pixel_idx, u, v)
+        fm = fresh[..., None]
+        o = jnp.where(fm, o_new, o)
+        d = jnp.where(fm, d_new, d)
+        seed = jnp.where(fresh, rng.pixel_seed(pixel_idx, base + ku), seed)
+        beta = jnp.where(fm, 1.0, beta)
+        pdf_mis = jnp.where(fresh, 1e12, pdf_mis)
+        vert = jnp.where(fresh, 0, vert)
+        scattering = jnp.where(fresh, False, scattering)
+        cur_mid = jnp.where(fresh, -1, cur_mid)
+        alive = alive | fresh
+        work_k = work_k + fresh.astype(jnp.int32)
+
+        # --- trace (dead lanes get t_max = 0: the traversal idles them)
+        ghit = scene_closest(
+            scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+        )
+        hit = interpolate_hit(scene, ghit, o, d)
+        hit, seed = apply_opacity(scene, hit, seed)
+        vert = vert + 1
+        primary = vert == 1
+
+        # --- free flight along the segment (volpath.cpp:44-62,117-183):
+        # surface-vertex sources read the destination's by-side medium,
+        # medium-vertex sources stay in their own
+        seed, xi_m = rng.random_floats(seed, media.N_FLIGHT_DRAWS)
+        mid_seg = jnp.where(
+            scattering, cur_mid, segment_medium(scene, hit, -d)
+        )
+        t_seg = jnp.where(hit.valid, hit.t, MAX_FLOAT)
+        scattered2, t2, w_med, ok_m = media.sample_flight(
+            scene.media, mid_seg, t_seg, xi_m[0], xi_m[1]
+        )
+        beta = jnp.where(alive[..., None], beta * w_med, beta)
+        alive = alive & ok_m
+        pos_m = o + jnp.minimum(t2, 1e8)[..., None] * d
+        cur_mid = jnp.where(scattered2, mid_seg, cur_mid)
+        surf = alive & ~scattered2
+
+        # --- escape -> env/constant with MIS (+ sun on camera segments);
+        # pdf_mis = 1e12 on camera segments makes w_esc exactly 1.0
+        if scene.env_kind != "none":
+            esc = surf & ~hit.valid
+            rad_esc = _escape_radiance(scene, d)
+            pdf_esc = _escape_pdf(scene, d)
+            w_esc = mis_weight(pdf_mis, pdf_esc)
+            L_samp = L_samp + jnp.where(
+                esc[..., None], w_esc[..., None] * beta * rad_esc, 0.0
+            )
+        if scene.sun_row >= 0:
+            L_samp = L_samp + jnp.where(
+                (surf & ~hit.valid & primary)[..., None],
+                emitters.eval_sun_escape(
+                    scene.emitters, scene.tex, scene.sun_row, d
+                ),
+                0.0,
+            )
+        alive = alive & (scattered2 | hit.valid)
+        surf = alive & ~scattered2
+
+        # --- emitter hit with MIS (volpath.cpp:205-238; primary hits:
+        # w = 1, no cosine cut, honoring hide_emitters)
+        has_b = hit.bsdf_id >= 0
+        emitter = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_b
+        wi_in = -d
+        cos_prime = dot(wi_in, hit.normal)
+        pdf_area_hit = scene.map_inst_light_pdf[jnp.maximum(hit.inst_id, 0)]
+        t_safe = jnp.where(hit.valid, jnp.minimum(hit.t, 1e8), 1.0)
+        pdf_direct = (
+            pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
+        )
+        w_bsdf = mis_weight(pdf_mis, pdf_direct)
+        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+        backface = (
+            hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id) & has_b
+        )
+        take_em = (
+            surf & emitter & ~backface
+            & ((cos_prime >= EPSILON_FLOAT) | primary)
+        )
+        if integ.hide_emitters:
+            take_em = take_em & ~primary
+        L_samp = L_samp + jnp.where(
+            take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0
+        )
+        alive = alive & (scattered2 | (~emitter & ~backface))
+        alive = alive & (vert < depth_cut)
+
+        # --- 1. Russian roulette with immediate compensation
+        seed, rr_u = rng.random_float(seed)
+        need_rr = vert >= integ.depth_rr
+        alive = alive & (~need_rr | (rr_u < integ.pdf_rr))
+        beta = jnp.where((alive & need_rr)[..., None], beta * pdf_rr_rcp, beta)
+
+        # --- 2. NEE at surface OR medium vertex (transmitted shadow rays)
+        seed, xi_nee = rng.random_floats(seed, n_nee)
+        L_samp = L_samp + beta * _direct_lighting_vol(
+            scene, hit, pos_m, scattered2, cur_mid, wi_in, alive, xi_nee
+        )
+
+        # --- 3. continuation: BSDF sample or phase sample
+        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
+        wi_s, pdf_s, f_s, v_s = bsdfs.bsdf_sample(
+            scene.bsdf,
+            scene.tex,
+            scene.present_types,
+            hit.bsdf_id,
+            wi_in,
+            hit.normal,
+            hit.tangent,
+            hit.bitangent,
+            hit.inside,
+            hit.uv,
+            xi_b,
+            kc=(scene.brdf_avg, scene.albedo_avg),
+        )
+        wi_p, pdf_p, f_p, v_p = media.sample_phase(
+            scene.media, cur_mid, wi_in, xi_b[0], xi_b[1], xi_b[2]
+        )
+        wi = jnp.where(scattered2[..., None], wi_p, wi_s)
+        pdf_b = jnp.where(scattered2, pdf_p, pdf_s)
+        f = jnp.where(scattered2[..., None], f_p, f_s)
+        valid_b = jnp.where(scattered2, v_p, v_s)
+
+        beta_new = beta * f / jnp.maximum(pdf_b, 1e-12)[..., None]
+        alive = alive & valid_b & (jnp.max(beta_new, axis=-1) >= EPSILON)
+        beta = jnp.where(alive[..., None], beta_new, beta)
+        null_vertex = ~scattered2 & (hit.bsdf_id < 0)
+        pdf_mis = jnp.where(null_vertex, pdf_mis, pdf_b)
+        o = jnp.where(scattered2[..., None], pos_m, hit.position)
+        d = -wi
+
+        return (work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert,
+                scattered2, cur_mid)
+
+    state = lax.while_loop(cond, body, state0)
+    work_k, L, L_samp = state[0], state[1], state[2]
+    L = fold(L, L_samp, jnp.ones_like(work_k, jnp.bool_))
+    return L / spp, state[7]

@@ -95,7 +95,11 @@ def _render_tile_impl(scene: SceneData, camera: Camera,
 def _render_tile_regen_impl(scene: SceneData, camera: Camera,
                             integ: IntegratorInfo, pixel_idx, spp: int,
                             frame_base=0, spp_total=None, sample_offset=0):
-    film, _ = path_integrator.shade_regen(
+    shade_regen = (
+        volpath_integrator.shade_regen if integ.itype == "volpath"
+        else path_integrator.shade_regen
+    )
+    film, _ = shade_regen(
         scene, camera=camera, integ=integ, pixel_idx=pixel_idx, spp=spp,
         frame_base=frame_base, spp_total=spp_total,
         sample_offset=sample_offset,
@@ -185,7 +189,7 @@ class Renderer:
         if engine is None:
             engine = os.environ.get(
                 "MCPT_ENGINE",
-                "regen" if integ.itype not in ("volpath", "bdpt") else "chunked",
+                "regen" if integ.itype != "bdpt" else "chunked",
             )
         tile_fn = render_tile_regen if engine == "regen" else render_tile
         spp_chunk = min(spp_chunk, spp)

@@ -80,3 +80,39 @@ class TestRegenEngine:
         b = _render(cfg, "regen", 8, tile=64)
         # depth 1: only primary emitter hits contribute -> deterministic
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestVolpathRegen:
+    """volpath.shade_regen vs the chunked volpath estimator."""
+
+    def _medium_box(self, spp, depth_max=6):
+        """Box scene with a homogeneous-medium sphere in front of the
+        light path (mirrors tests/test_medium.py's render scenes)."""
+        from mcpt_tpu.scene.ir import InstanceInfo, MediumInfo
+
+        cfg = make_box_scene(spp=spp, res=8, depth_max=depth_max)
+        cfg.media.append(MediumInfo(
+            sigma_a=np.array([0.4, 0.4, 0.4], np.float32),
+            sigma_s=np.array([0.8, 0.8, 0.8], np.float32),
+        ))
+        ball = InstanceInfo(shape="sphere", radius=0.5, id_bsdf=-1,
+                            id_medium_int=0)
+        ball.to_world = np.eye(4, dtype=np.float32)
+        ball.to_world[:3, 3] = [0.0, 1.0, 0.0]
+        cfg.instances.append(ball)
+        cfg.integrator.itype = "volpath"
+        return cfg
+
+    def test_matches_chunked_statistically(self):
+        a = _render(self._medium_box(384), "chunked", 384, tile=64,
+                    spp_chunk=128)
+        b = _render(self._medium_box(384), "regen", 384, tile=64,
+                    spp_chunk=128)
+        np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.04)
+        assert np.isfinite(b).all()
+
+    def test_depth_one_matches(self):
+        cfg = self._medium_box(8, depth_max=1)
+        a = _render(cfg, "chunked", 8, tile=64)
+        b = _render(cfg, "regen", 8, tile=64)
+        np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.1)

@@ -28,6 +28,9 @@ OUT = os.path.join(REPO, "acceptance")
 
 # (name, xml, own png, tungsten exr)
 CASES = [
+    ("plastic", "matpreview/plastic.xml", "plastic.png", None),
+    ("rough-conductor-aniso", "matpreview/rough_conductor.xml",
+     "rough-conductor.png", None),
     ("conductor", "matpreview/conductor.xml", "conductor.png", None),
     ("rough-conductor", "matpreview/rough_conductor_isotropic.xml",
      "rough-conductor-isotropic.png", None),

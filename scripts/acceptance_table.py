@@ -36,6 +36,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = "/root/reference/resources/results"
 
 CASES = [
+    ("plastic", "plastic.png"),
+    ("rough-conductor-aniso", "rough-conductor.png"),
     ("conductor", "conductor.png"),
     ("rough-conductor", "rough-conductor-isotropic.png"),
     ("dielectric", "dielectric.png"),

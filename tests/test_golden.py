@@ -129,6 +129,37 @@ def test_matpreview_conductor_structure_matches_reference():
     assert relmse < 0.11, relmse
 
 
+def test_mercury_rough_diffuse_structure_matches_reference():
+    """mercury/rough_diffuse.xml: all-quadric scene (sphere + emissive
+    disk light), Oren-Nayar, bump, envmap — the scene whose NEE program
+    SIGILLed the round-1 TPU compiler (fixed by the scalar-level disk
+    normal fold, ops/quadric.py).  The checkout is missing
+    textures/8k_mercury.jpg (0.5-gray fallback) so the background
+    differs from the committed render by a global factor; the gate fits
+    one display gain and bounds structure (measured 0.013 at 64px@8spp)."""
+    from mcpt_tpu.render.renderer import Renderer
+    from mcpt_tpu.scene.parser import load_config
+    from mcpt_tpu.utils.image import read_png_linear
+
+    g = read_png_linear(f"{RESULTS}/mercury_rough-diffuse.png")
+    gh, gw = g.shape[:2]
+    cfg = load_config(f"{SCENES}/mercury/rough_diffuse.xml")
+    w = h = 64
+    cfg.camera.width, cfg.camera.height = w, h
+    cfg.integrator.depth_max = 6
+    img = np.asarray(Renderer(cfg).render(spp=8, tile=w * h))
+
+    g = g[: h * (gh // h), : w * (gw // w)].reshape(
+        h, gh // h, w, gw // w, 3
+    ).mean((1, 3))
+    od = np.clip(img, 0.0, 1.0) ** (1 / 2.2)
+    rd = np.clip(g, 0.0, 1.0) ** (1 / 2.2)
+    gain = float((od * rd).sum() / (od * od).sum())
+    relmse = float(np.mean((gain * od - rd) ** 2 / (rd**2 + 1e-2)))
+    assert 0.55 < gain < 0.95, gain
+    assert relmse < 0.05, relmse
+
+
 def test_lte_orb_silver_matches_reference_own_render():
     """Conductor + plastic orb under an area light (mesh scene -> march
     traversal path) vs the reference's committed render (GOLDEN.md r1:

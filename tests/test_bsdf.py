@@ -356,3 +356,34 @@ class TestClearcoat:
         np.testing.assert_allclose(
             np.asarray(pdf0)[m], np.asarray(pdf1)[m], rtol=1e-4
         )
+
+
+def test_is_connectible_gates_narrow_lobes():
+    """BDPT connection gate (models/bsdf.py::is_connectible): diffuse
+    families always connectible; microfacet lobes only at alpha >= 0.05
+    (smooth variants carry the parser's 0.001, csrt parser.cpp:896)."""
+    import jax.numpy as jnp
+
+    uv = jnp.zeros((1, 2), jnp.float32)
+    bid = jnp.zeros((1,), jnp.int32)
+
+    def check(info, tb):
+        tables, tex = make_tables(info, tb)
+        return bool(B.is_connectible(tables, tex, bid, uv)[0])
+
+    tb = TextureBuilder()
+    assert check(BsdfInfo(btype=BsdfType.DIFFUSE), tb)
+
+    tb = TextureBuilder()
+    smooth = tb.add_constant([0.001])
+    assert not check(
+        BsdfInfo(btype=BsdfType.DIELECTRIC, id_roughness_u=smooth,
+                 id_roughness_v=smooth), tb,
+    )
+
+    tb = TextureBuilder()
+    rough = tb.add_constant([0.3])
+    assert check(
+        BsdfInfo(btype=BsdfType.CONDUCTOR, id_roughness_u=rough,
+                 id_roughness_v=rough), tb,
+    )

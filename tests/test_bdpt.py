@@ -64,7 +64,7 @@ def test_bdpt_matches_path_through_specular_chain():
     from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
 
     def cfg_for(itype):
-        cfg = make_box_scene(spp=512, res=8, depth_max=6)
+        cfg = make_box_scene(spp=256, res=8, depth_max=6)
         glass = BsdfInfo(btype=BsdfType.DIELECTRIC, eta=1.5)
         cfg.bsdfs.append(glass)
         sphere = InstanceInfo(shape="sphere", radius=0.45, id_bsdf=2)
@@ -77,6 +77,7 @@ def test_bdpt_matches_path_through_specular_chain():
     img_p = np.asarray(Renderer(cfg_for("path")).render(tile=64))
     img_b = np.asarray(Renderer(cfg_for("bdpt")).render(tile=64))
     ratio = img_b.mean() / img_p.mean()
+    # measured 0.947 at 256 spp; wall time is bdpt-compile-dominated
     assert 0.85 < ratio < 1.15, (img_b.mean(), img_p.mean())
 
 

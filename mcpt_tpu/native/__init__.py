@@ -4,6 +4,9 @@ toolchain and bound via ctypes.
 Components:
   * piz.c — OpenEXR PIZ chunk decompression (Huffman + wavelet), used by
     `mcpt_tpu.utils.image.read_exr`.
+  * sah.c — binned-SAH chunk partition for the march traversal's scene
+    commit (`mcpt_tpu.scene.geometry`), exact mirror of the Python
+    oracle `_sah_chunks_py`.
 
 The shared objects are cached next to the sources; a stale .so (older
 than its .c) is rebuilt automatically.
@@ -53,6 +56,49 @@ def piz():
         ctypes.c_long,                    # out_count
     ]
     return lib
+
+
+@functools.lru_cache(maxsize=1)
+def sah():
+    lib = load("sah")
+    lib.sah_chunks.restype = ctypes.c_long
+    lib.sah_chunks.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # cent [n,3]
+        ctypes.POINTER(ctypes.c_float),   # tmin [n,3]
+        ctypes.POINTER(ctypes.c_float),   # tmax [n,3]
+        ctypes.c_long,                    # n
+        ctypes.c_long,                    # leaf
+        ctypes.c_int,                     # nbins
+        ctypes.POINTER(ctypes.c_long),    # order out [n]
+        ctypes.POINTER(ctypes.c_long),    # chunk_off out [max_chunks+1]
+        ctypes.c_long,                    # max_chunks
+    ]
+    return lib
+
+
+def sah_chunks(cent, tmin, tmax, leaf: int, nbins: int = 16):
+    """Partition prims into chunks of <= `leaf`; returns a list of int64
+    index arrays (same chunks as geometry._sah_chunks_py)."""
+    import numpy as np
+
+    lib = sah()
+    n = int(cent.shape[0])
+    cent = np.ascontiguousarray(cent, np.float32)
+    tmin = np.ascontiguousarray(tmin, np.float32)
+    tmax = np.ascontiguousarray(tmax, np.float32)
+    order = np.empty(max(n, 1), np.int64)
+    max_chunks = n + 1
+    off = np.empty(max_chunks + 1, np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lp = ctypes.POINTER(ctypes.c_long)
+    count = lib.sah_chunks(
+        cent.ctypes.data_as(fp), tmin.ctypes.data_as(fp),
+        tmax.ctypes.data_as(fp), n, int(leaf), int(nbins),
+        order.ctypes.data_as(lp), off.ctypes.data_as(lp), max_chunks,
+    )
+    if count < 0:
+        raise RuntimeError("sah_chunks failed")
+    return [order[off[j]: off[j + 1]] for j in range(count)]
 
 
 def piz_uncompress(payload: bytes, nx_list, ny_list):

@@ -66,6 +66,19 @@ class Geometry:
 
 
 def _sah_chunks(cent, tmin, tmax, leaf, nbins=16):
+    """Binned-SAH chunk partition: native C when buildable (native/sah.c
+    — dining-room 270k prims in ~0.1 s vs ~2.7 s Python), else the
+    Python oracle below.  Both produce identical chunks (exact-parity
+    test in tests/test_bvh.py)."""
+    try:
+        from mcpt_tpu import native
+
+        return native.sah_chunks(cent, tmin, tmax, leaf, nbins)
+    except Exception:
+        return _sah_chunks_py(cent, tmin, tmax, leaf, nbins)
+
+
+def _sah_chunks_py(cent, tmin, tmax, leaf, nbins=16):
     """Top-down binned-SAH partition of prims into chunks of <= `leaf`.
 
     The march traversal's cost per ray is (chunks entered) x (sweep of

@@ -271,3 +271,33 @@ def test_sah_march_chunk_pack_structure():
             continue
         assert (tmin[j][f] >= cmin[j] - 1e-4).all()
         assert (tmax[j][f] <= cmax[j] + 1e-4).all()
+
+
+def test_native_sah_matches_python_oracle():
+    """native/sah.c is an exact mirror of geometry._sah_chunks_py: same
+    float32 binning, first-min tie-breaks, stable partition — chunk
+    memberships must match element for element."""
+    from mcpt_tpu import native
+    from mcpt_tpu.scene.geometry import _sah_chunks_py
+
+    for n, leaf, seed in ((3000, 64, 0), (20000, 128, 1), (5, 64, 2)):
+        r = np.random.RandomState(seed)
+        v = r.uniform(-10, 10, (n, 3)).astype(np.float32)
+        e = r.uniform(0.01, 0.5, (n, 3)).astype(np.float32)
+        tmin, tmax = v - e, v + e
+        cent = 0.5 * (tmin + tmax)
+        py = sorted(tuple(x) for x in _sah_chunks_py(cent, tmin, tmax, leaf))
+        cc = sorted(tuple(np.asarray(x)) for x in
+                    native.sah_chunks(cent, tmin, tmax, leaf))
+        assert len(py) == len(cc)
+        for a, b in zip(py, cc):
+            assert np.array_equal(a, b)
+
+    # degenerate: coincident centroids fall back to middle splits
+    cent = np.zeros((300, 3), np.float32)
+    tmin = cent - 0.1
+    tmax = cent + 0.1
+    py = sorted(tuple(x) for x in _sah_chunks_py(cent, tmin, tmax, 64))
+    cc = sorted(tuple(np.asarray(x)) for x in
+                native.sah_chunks(cent, tmin, tmax, 64))
+    assert all(np.array_equal(a, b) for a, b in zip(py, cc))

@@ -684,11 +684,19 @@ def _intersect_dense_pallas(geom, o, d, t_min, t_max, any_hit, interpret=False):
 
 
 def _use_pallas_march() -> bool:
-    """Pallas march kernel for large scenes is OPT-IN until proven on
-    the axon remote Mosaic compiler (MCPT_PALLAS_MARCH=1)."""
+    """Pallas march kernel for large scenes: DEFAULT on TPU backends
+    (proven on-chip round 2: bit-exact vs the XLA march and 2.5-5.6x
+    faster at 64k-256k rays, scripts/pallas_march_bench.py), opt-out
+    with MCPT_PALLAS_MARCH=0; opt-in elsewhere with =1 (CPU tests use
+    interpret-mode equivalence instead)."""
     import os
 
-    return os.environ.get("MCPT_PALLAS_MARCH") == "1"
+    flag = os.environ.get("MCPT_PALLAS_MARCH")
+    if flag is not None:
+        return flag == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,

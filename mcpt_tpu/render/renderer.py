@@ -109,6 +109,16 @@ def _render_tile_regen_impl(scene: SceneData, camera: Camera,
 
 _TILE_STATIC = ("integ", "spp", "spp_total")
 
+
+@jax.jit
+def _scale_film(film, s):
+    return film * s
+
+
+@jax.jit
+def _add_films(acc, contrib):
+    return acc + contrib
+
 #: Jitted single-device tile renderer (`frame_base`/`sample_offset` are
 #: traced so chunked accumulation reuses one compilation).
 render_tile = functools.partial(
@@ -203,6 +213,12 @@ class Renderer:
         t0 = time.time()
         done_work = 0
         total_work = n_pix * spp
+        # Per-chunk films accumulate ON DEVICE and each tile is fetched
+        # once, asynchronously: a synchronous np.asarray per (tile,
+        # spp-chunk) costs more than the render itself through the axon
+        # tunnel (jax.profiler trace, docs/profile/SUMMARY.md — 265 ms
+        # per 768 KB readback vs 211 ms device compute per tile).
+        pending: list[tuple[int, int, jax.Array]] = []
         for start in range(0, n_pix, tile):
             end = min(start + tile, n_pix)
             idx = jnp.arange(start, end, dtype=jnp.int32)
@@ -210,7 +226,7 @@ class Renderer:
                 idx = jnp.concatenate(
                     [idx, jnp.zeros(tile - (end - start), jnp.int32)]
                 )
-            acc = np.zeros((end - start, 3), np.float32)
+            acc = None
             s_done = 0
             for s in chunks:
                 try:
@@ -234,7 +250,8 @@ class Renderer:
                         self.scene, cam, integ, idx, s, frame_base,
                         spp_total=spp, sample_offset=s_done,
                     )
-                acc += np.asarray(out)[: end - start] * s
+                contrib = _scale_film(out, float(s))
+                acc = contrib if acc is None else _add_films(acc, contrib)
                 s_done += s
                 done_work += (end - start) * s
                 if progress:
@@ -247,7 +264,13 @@ class Renderer:
                         end="",
                         flush=True,
                     )
-            frame[start:end] = acc / spp
+            try:  # start the host copy without blocking the next tile
+                acc.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((start, end, acc))
+        for start, end, acc in pending:
+            frame[start:end] = np.asarray(acc)[: end - start] / spp
         if progress:
             print(f"\r[info] render done in {time.time() - t0:.2f}s      ")
         return frame.reshape(cam.height, cam.width, 3)

@@ -9,11 +9,18 @@ render stage against them:
     bytes = 2*size / t.
   * MXU: [4096,4096] @ [4096,4096] bf16 and f32.
 
-Every rep is DATA-DEPENDENT on the previous one (y = f(y)), so the
-runtime cannot overlap or elide them — the first version of this probe
-timed independent calls and reported impossible peaks (35 TB/s HBM)
-under the axon async dispatcher.  A dispatch-floor row is printed so
-per-call numbers can be read against it.
+Sync discipline (two prior versions of this probe reported impossible
+peaks — 35 TB/s HBM, 178 TFLOP/s "VPU"): under the axon remote
+runtime, `jax.block_until_ready` acknowledges scheduling, NOT device
+completion, so any timing that ends in block_until_ready measures the
+dispatch pipeline.  The only reliable sync is a device->host transfer
+of the result.  Each measurement therefore
+
+  1. runs ALL reps inside one jitted `lax.fori_loop` (a value-dependent
+     chain the compiler cannot elide — outputs feed inputs),
+  2. syncs by pulling one reduced scalar to the host, and
+  3. takes the SLOPE between a small and a large rep count, cancelling
+     the constant dispatch + transfer round-trip.
 
 Stage accounting uses the analytic flop counts of the dense sweep
 (~55 flop/ray-tri pair: Moller-Trumbore + window tests + winner
@@ -24,6 +31,7 @@ scripts/stage_bench.py.
     python scripts/roofline_probe.py
 """
 
+import functools
 import sys
 import time
 
@@ -31,65 +39,84 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def timeit_chain(f, x, reps=20):
-    """Time f applied reps times in a value-dependency chain."""
-    y = f(x)
-    jax.block_until_ready(y)  # warm compile
+def timed(fn, *args):
+    """Wall time of fn(*args) ending in a host transfer of a scalar."""
     t0 = time.time()
-    for _ in range(reps):
-        y = f(y)
-    jax.block_until_ready(y)
-    return (time.time() - t0) / reps
+    out = fn(*args)
+    np.asarray(out)  # device->host: the only real sync under axon
+    return time.time() - t0
+
+
+def slope(fn_r, x, r1, r2, warm=True):
+    """Per-rep time via two-point slope: cancels dispatch + transfer."""
+    f1 = functools.partial(fn_r, r1)
+    f2 = functools.partial(fn_r, r2)
+    if warm:
+        np.asarray(f1(x)), np.asarray(f2(x))  # compile both
+    t1 = min(timed(f1, x) for _ in range(3))
+    t2 = min(timed(f2, x) for _ in range(3))
+    return (t2 - t1) / (r2 - r1), t1, t2
 
 
 def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
 
-    # --- dispatch floor: a trivial dependent chain
+    # --- host-sync round-trip floor
     @jax.jit
     def tiny(x):
-        return x + 1.0
+        return x.sum()
 
-    t = timeit_chain(tiny, jnp.zeros((8,), jnp.float32), reps=50)
-    print(f"dispatch floor: {t*1e3:.3f} ms/call (dependent chain)",
-          flush=True)
+    x8 = jnp.zeros((8,), jnp.float32)
+    np.asarray(tiny(x8))
+    floor = min(timed(tiny, x8) for _ in range(10))
+    print(f"host-sync round-trip floor: {floor*1e3:.3f} ms", flush=True)
 
-    # --- VPU fp32 peak: K dependent FMAs per element
-    K = 512
-    n = 1 << 22  # 16 MB
+    # --- VPU fp32 peak: R dependent FMAs per element, in one program
+    n = 1 << 22  # 16 MB vector
 
-    @jax.jit
-    def vpu(x):
+    @functools.partial(jax.jit, static_argnums=0)
+    def vpu(r, x):
         def body(i, a):
             return a * 1.000001 + 0.5
-        return jax.lax.fori_loop(0, K, body, x) * 0.0
+        return jax.lax.fori_loop(0, r, body, x)[0]
 
     x = jnp.ones((n,), jnp.float32)
-    t = timeit_chain(vpu, x)
-    print(f"VPU fp32: {2*K*n/t/1e12:.2f} TFLOP/s  ({t*1e3:.2f} ms)",
+    per, t1, t2 = slope(vpu, x, 256, 2048)
+    print(f"VPU fp32: {2*n/per/1e12:.3f} TFLOP/s  "
+          f"(per-iter {per*1e6:.1f} us; walls {t1*1e3:.1f}/{t2*1e3:.1f} ms)",
           flush=True)
 
-    # --- HBM bandwidth: elementwise over a 512 MB buffer
-    m = 1 << 27  # 128M f32 = 512 MB
+    # --- HBM bandwidth: dependent elementwise sweeps of a 512 MB buffer
+    m = 1 << 27  # 128M f32 = 512 MB (>> 128 MB VMEM)
 
-    @jax.jit
-    def bw(x):
-        return x + 1.0
+    @functools.partial(jax.jit, static_argnums=0)
+    def bw(r, x):
+        def body(i, a):
+            return a + 1.0
+        return jax.lax.fori_loop(0, r, body, x)[0]
 
     xb = jnp.ones((m,), jnp.float32)
-    t = timeit_chain(bw, xb, reps=10)
-    print(f"HBM: {2*m*4/t/1e9:.0f} GB/s  ({t*1e3:.2f} ms)", flush=True)
+    per, t1, t2 = slope(bw, xb, 4, 32)
+    print(f"HBM: {2*m*4/per/1e9:.0f} GB/s  (per-sweep {per*1e3:.2f} ms)",
+          flush=True)
 
-    # --- MXU (normalize each product back to ~1 so the chain stays finite)
+    # --- MXU: chained 4096^3 matmuls (renormalized to stay finite)
     for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32")):
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def mxu(r, a):
+            def body(i, a):
+                return (a @ a) * (1.0 / 4096.0)
+            return jax.lax.fori_loop(0, r, body, a)[0, 0]
+
         a = jnp.ones((4096, 4096), dt)
-        fn = jax.jit(lambda a: (a @ a) * (1.0 / 4096.0))
-        t = timeit_chain(fn, a, reps=10)
-        print(f"MXU {name}: {2*4096**3/t/1e12:.1f} TFLOP/s "
-              f"({t*1e3:.2f} ms)", flush=True)
+        per, t1, t2 = slope(mxu, a, 4, 32)
+        print(f"MXU {name}: {2*4096**3/per/1e12:.1f} TFLOP/s "
+              f"(per-matmul {per*1e3:.3f} ms)", flush=True)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ from mcpt_tpu.ops.warps import (
     sample_cone_uniform,
     sample_sphere_uniform,
     searchsorted_cdf,
+    searchsorted_cdf_rows,
 )
 from mcpt_tpu.scene.ir import EmitterType
 
@@ -292,11 +293,12 @@ def sample_envmap(env: EnvMapData, tex, origin, xi0, xi1):
     hi_r = env.cdf_rows[row + 1]
     v_frac = (xi0 - lo_r) / jnp.maximum(hi_r - lo_r, 1e-12)
 
-    cdf_c = env.cdf_cols[row]  # [N, W+1]
-    col = searchsorted_cdf(cdf_c, xi1)
-    idx = jnp.arange(xi1.shape[0])
-    lo_c = cdf_c[idx, col]
-    hi_c = cdf_c[idx, col + 1]
+    # per-lane binary search inside row `row` of the column CDF —
+    # never materialize the [N, W+1] row gather (HBM-traffic disaster
+    # at production lane counts; see searchsorted_cdf_rows)
+    col = searchsorted_cdf_rows(env.cdf_cols, row, xi1)
+    lo_c = env.cdf_cols[row, col]
+    hi_c = env.cdf_cols[row, col + 1]
     u_frac = (xi1 - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12)
 
     v = (row.astype(jnp.float32) + jnp.clip(v_frac, 0.0, 1.0)) / env.height

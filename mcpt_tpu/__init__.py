@@ -19,6 +19,29 @@ Layer map (mirrors SURVEY.md but TPU-first):
 
 __version__ = "0.1.0"
 
+
+def _force_f32_matmuls():
+    """Renderer numerics require true-f32 contractions.
+
+    JAX's DEFAULT matmul precision rounds f32 matmul/einsum operands to
+    bfloat16 passes (on every backend in this jax build — verified even
+    on CPU): light-sample positions, world transforms, and one-hot table
+    selects would all quantize to ~3 decimal digits.  Physically based
+    rendering accumulates across millions of such ops, so the package
+    pins the default to float32; callers can override per-op or restore
+    via jax.default_matmul_precision if they want bf16 throughput for
+    a non-render workload.  MCPT_MATMUL_PRECISION overrides."""
+    import os
+
+    want = os.environ.get("MCPT_MATMUL_PRECISION", "float32")
+    if want and want != "default":
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", want)
+
+
+_force_f32_matmuls()
+
 _LAZY = {
     "Renderer": ("mcpt_tpu.render.renderer", "Renderer"),
     "load_config": ("mcpt_tpu.scene.parser", "load_config"),

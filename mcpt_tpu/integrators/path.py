@@ -42,6 +42,7 @@ from mcpt_tpu.ops.math import (
     dot,
     mis_weight,
     normalize,
+    take_rows,
 )
 from mcpt_tpu.ops.quadric import quadric_attrs, sample_quadric_row
 from mcpt_tpu.ops.scene_intersect import scene_any, scene_closest
@@ -73,11 +74,11 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     vf = ghit.v[..., None]
     wf = ghit.w[..., None]
 
-    normal = normalize(uf * g.n0[p] + vf * g.n1[p] + wf * g.n2[p])
-    tangent = normalize(uf * g.tg0[p] + vf * g.tg1[p] + wf * g.tg2[p])
-    bitangent = normalize(uf * g.bt0[p] + vf * g.bt1[p] + wf * g.bt2[p])
-    uv = uf * g.uv0[p] + vf * g.uv1[p] + wf * g.uv2[p]
-    inst = g.inst_id[p]
+    normal = normalize(uf * take_rows(g.n0, p) + vf * take_rows(g.n1, p) + wf * take_rows(g.n2, p))
+    tangent = normalize(uf * take_rows(g.tg0, p) + vf * take_rows(g.tg1, p) + wf * take_rows(g.tg2, p))
+    bitangent = normalize(uf * take_rows(g.bt0, p) + vf * take_rows(g.bt1, p) + wf * take_rows(g.bt2, p))
+    uv = uf * take_rows(g.uv0, p) + vf * take_rows(g.uv1, p) + wf * take_rows(g.uv2, p)
+    inst = take_rows(g.inst_id, p)
 
     # clamp t for the position so missed lanes (t = MAX_FLOAT) stay
     # finite — garbage leaks NaNs into reverse-mode AD otherwise.
@@ -99,14 +100,14 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
         bitangent = jnp.where(mq, qb, bitangent)
         uv = jnp.where(mq, quv, uv)
         inst = jnp.where(is_q, qinst, inst)
-    bsdf_id = scene.map_inst_bsdf[jnp.maximum(inst, 0)]
+    bsdf_id = take_rows(scene.map_inst_bsdf, jnp.maximum(inst, 0))
 
     # bump mapping perturbs the shading frame BEFORE the inside flip
     # (csrt triangle.cpp:129-134 + bsdf.cpp:238-253)
     if scene.has_bump:
         from mcpt_tpu.ops.math import cross
 
-        bump_tid = scene.bsdf.bump_tid[jnp.maximum(bsdf_id, 0)]
+        bump_tid = take_rows(scene.bsdf.bump_tid, jnp.maximum(bsdf_id, 0))
         has_bump = (bump_tid >= 0) & (bsdf_id >= 0)
         grad = textures.eval_gradient(
             scene.tex, jnp.maximum(bump_tid, 0), uv
@@ -150,7 +151,7 @@ def apply_opacity(scene: SceneData, hit: HitAttrs, seed):
     if not scene.has_opacity:
         return hit, seed
     seed, u = rng.random_float(seed)
-    tid = scene.bsdf.opacity_tid[jnp.maximum(hit.bsdf_id, 0)]
+    tid = take_rows(scene.bsdf.opacity_tid, jnp.maximum(hit.bsdf_id, 0))
     has = (tid >= 0) & (hit.bsdf_id >= 0) & hit.valid
     alpha = textures.eval_opacity(scene.tex, jnp.maximum(tid, 0), hit.uv)
     transparent = has & (u >= alpha)
@@ -167,32 +168,17 @@ def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
     cell = searchsorted_cdf(em.cdf, xi_sel)
     w, u, v = sample_triangle_uniform(xi_a, xi_b)
     uf, vf = u[..., None], v[..., None]
-    n_em = int(em.pdf_area.shape[0])
-    if n_em <= 64:
-        # per-lane gathers serialize on the TPU VPU (measured 0.55 ms at
-        # 64k lanes for these 10 row lookups); for the common small
-        # emissive set a dense one-hot contraction is ~free
-        oh = (
-            cell[..., None] == jnp.arange(n_em, dtype=jnp.int32)
-        ).astype(jnp.float32)
-        pick = lambda tab: oh @ tab  # noqa: E731  [N,E] @ [E,k]
-        p0c, e1c, e2c = pick(em.p0), pick(em.e1), pick(em.e2)
-        n0c, n1c, n2c = pick(em.n0), pick(em.n1), pick(em.n2)
-        uv0c, uv1c, uv2c = pick(em.uv0), pick(em.uv1), pick(em.uv2)
-        pdf_area_c = oh @ em.pdf_area
-        # resolve the radiance texture per CELL ([E] gather), then
-        # contract — no [N]-lane gather anywhere on this path
-        tid_cell = scene.bsdf.radiance_tid[em.bsdf_id]  # [E]
-        radiance_tid = jnp.sum(
-            jnp.where(cell[..., None] == jnp.arange(n_em), tid_cell, 0),
-            axis=-1,
-        )
-    else:
-        p0c, e1c, e2c = em.p0[cell], em.e1[cell], em.e2[cell]
-        n0c, n1c, n2c = em.n0[cell], em.n1[cell], em.n2[cell]
-        uv0c, uv1c, uv2c = em.uv0[cell], em.uv1[cell], em.uv2[cell]
-        pdf_area_c = em.pdf_area[cell]
-        radiance_tid = scene.bsdf.radiance_tid[em.bsdf_id[cell]]
+    # take_rows: one-hot contraction for small emissive sets (per-lane
+    # gathers serialize on the TPU VPU — measured 0.55 ms at 64k lanes
+    # for these 10 row lookups), plain gather above its size cutoff
+    p0c, e1c, e2c = take_rows(em.p0, cell), take_rows(em.e1, cell), take_rows(em.e2, cell)
+    n0c, n1c, n2c = take_rows(em.n0, cell), take_rows(em.n1, cell), take_rows(em.n2, cell)
+    uv0c, uv1c, uv2c = take_rows(em.uv0, cell), take_rows(em.uv1, cell), take_rows(em.uv2, cell)
+    pdf_area_c = take_rows(em.pdf_area, cell)
+    # resolve the radiance texture per CELL ([E] gather, table-sized),
+    # then per lane — no [N]-lane gather anywhere on this path
+    tid_cell = scene.bsdf.radiance_tid[em.bsdf_id]  # [E]
+    radiance_tid = take_rows(tid_cell, cell)
     pos = p0c + uf * e1c + vf * e2c
     nrm = normalize(w[..., None] * n0c + uf * n1c + vf * n2c)
     uv = w[..., None] * uv0c + uf * uv1c + vf * uv2c
@@ -494,7 +480,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         has_b = hit2.bsdf_id >= 0
         emitter = bsdfs.is_emitter(scene.bsdf, hit2.bsdf_id) & has_b
         cos_prime = dot(wi, hit2.normal)
-        pdf_area_hit = scene.map_inst_light_pdf[jnp.maximum(hit2.inst_id, 0)]
+        pdf_area_hit = take_rows(scene.map_inst_light_pdf, jnp.maximum(hit2.inst_id, 0))
         t_safe = jnp.where(hit2.valid, jnp.minimum(hit2.t, 1e8), 1.0)
         pdf_direct = (
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
@@ -652,7 +638,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         emitter = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_b
         wi_in = -d  # light-travel convention of the emitter formulas
         cos_prime = dot(wi_in, hit.normal)
-        pdf_area_hit = scene.map_inst_light_pdf[jnp.maximum(hit.inst_id, 0)]
+        pdf_area_hit = take_rows(scene.map_inst_light_pdf, jnp.maximum(hit.inst_id, 0))
         t_safe = jnp.where(hit.valid, jnp.minimum(hit.t, 1e8), 1.0)
         pdf_direct = (
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)

@@ -49,6 +49,7 @@ from mcpt_tpu.ops.math import (
     reflect,
     refract,
     sqr,
+    take_rows,
     to_local,
     to_world,
 )
@@ -367,8 +368,8 @@ def _oren_nayar(albedo, sigma, wi_local, wo_local, fast):
 
 
 def _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo):
-    albedo = textures.eval_color(tex, tables.diffuse_tid[bid], uv)
-    sigma = _scalar_tex(tex, tables.roughness_tid[bid], uv)
+    albedo = textures.eval_color(tex, take_rows(tables.diffuse_tid, bid), uv)
+    sigma = _scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv)
     if _on_barrier():
         # fusion break: the axon remote compiler SIGILLs / hangs on the
         # fused bitmap-gather + Oren-Nayar transcendental program
@@ -379,7 +380,7 @@ def _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo):
         albedo, sigma = jax.lax.optimization_barrier((albedo, sigma))
     wi_local = to_local(-wi, t, b, n)
     wo_local = to_local(wo, t, b, n)
-    fast = tables.use_fast_approx[bid]
+    fast = take_rows(tables.use_fast_approx, bid)
     return _oren_nayar(albedo, sigma, wi_local, wo_local, fast)
 
 
@@ -392,9 +393,9 @@ def _on_barrier() -> bool:
 def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     """GGX reflection w/ Schlick Fresnel + Kulla-Conty compensation
     (csrt conductor.cpp:36-79)."""
-    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    beck = tables.use_beckmann[bid]
+    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
@@ -407,13 +408,13 @@ def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi, h)
     n_dot_o = wo_local[..., 2]
-    f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
+    f = fresnel_schlick(h_dot_i, take_rows(tables.reflectivity_rgb, bid))
     atten = f * (d_pdf * g / (4.0 * _safe(n_dot_o)))[..., None]
 
     iso = jnp.abs(au - av) < 1e-6
-    comp = _kc_conductor(kc, tables.f_avg_rgb[bid], n_dot_i, n_dot_o, au)
+    comp = _kc_conductor(kc, take_rows(tables.f_avg_rgb, bid), n_dot_i, n_dot_o, au)
     atten = atten + jnp.where(iso[..., None], comp, 0.0)
-    atten = atten * _tex_or_white(tex, tables.specular_tid[bid], uv)
+    atten = atten * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
 
     valid = (pdf >= EPSILON) & (n_dot_i >= EPSILON_FLOAT)
     return wi, pdf, atten, valid
@@ -424,9 +425,9 @@ def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     n_dot_o = dot(wo, n)
     h = normalize(-wi + wo)
     h_local = to_local(h, t, b, n)
-    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    beck = tables.use_beckmann[bid]
+    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_o = dot(wo, h)
     pdf = d / (4.0 * _safe(h_dot_o))
@@ -435,14 +436,14 @@ def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     wo_local = to_local(wo, t, b, n)
     g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi, h)
-    f = fresnel_schlick(h_dot_i, tables.reflectivity_rgb[bid])
+    f = fresnel_schlick(h_dot_i, take_rows(tables.reflectivity_rgb, bid))
     atten = f * (d * g / (4.0 * _safe(n_dot_o)))[..., None]
 
     iso = jnp.abs(au - av) < 1e-6
     n_dot_i = dot(-wi, n)
-    comp = _kc_conductor(kc, tables.f_avg_rgb[bid], n_dot_i, n_dot_o, au)
+    comp = _kc_conductor(kc, take_rows(tables.f_avg_rgb, bid), n_dot_i, n_dot_o, au)
     atten = atten + jnp.where(iso[..., None], comp, 0.0)
-    atten = atten * _tex_or_white(tex, tables.specular_tid[bid], uv)
+    atten = atten * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
 
     valid = (n_dot_o >= EPSILON_FLOAT) & (pdf >= EPSILON)
     return pdf, atten, valid
@@ -452,25 +453,25 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     """Rough dielectric reflect/refract (csrt dielectric.cpp:44-146)."""
     scale = 1.2 - 0.2 * jnp.sqrt(jnp.abs(dot(-wo, n)))
     au = jnp.maximum(
-        _scalar_tex(tex, tables.roughness_u_tid[bid], uv) * scale, _MIN_ALPHA
+        _scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv) * scale, _MIN_ALPHA
     )
     av = jnp.maximum(
-        _scalar_tex(tex, tables.roughness_v_tid[bid], uv) * scale, _MIN_ALPHA
+        _scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv) * scale, _MIN_ALPHA
     )
-    beck = tables.use_beckmann[bid]
+    beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
 
     # relative IOR bookkeeping exactly as the reference (dielectric.cpp:61-69)
-    eta_tab = tables.eta[bid]
-    eta_inv_tab = tables.eta_inv[bid]
+    eta_tab = take_rows(tables.eta, bid)
+    eta_inv_tab = take_rows(tables.eta_inv, bid)
     eta = jnp.where(inside, eta_tab, eta_inv_tab)
     eta_inv = jnp.where(inside, eta_inv_tab, eta_tab)
 
     refract_ok, wt = refract(-wo, h, eta)
     full_reflect = ~refract_ok
-    f_sel = fresnel_schlick(h_dot_o, tables.reflectivity[bid])
+    f_sel = fresnel_schlick(h_dot_o, take_rows(tables.reflectivity, bid))
     choose_reflect = full_reflect | (xi[2] < f_sel)
 
     wo_local = to_local(wo, t, b, n)
@@ -490,8 +491,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     iso = jnp.abs(au - av) < 1e-6
     comp_r = _kc_dielectric(
         kc,
-        tables.f_avg[bid],
-        tables.f_avg_inv[bid],
+        take_rows(tables.f_avg, bid),
+        take_rows(tables.f_avg_inv, bid),
         eta_tab,
         eta_inv_tab,
         n_dot_i_r,
@@ -501,7 +502,7 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
         jnp.ones_like(inside),
     )
     atten_r = atten_r + jnp.where(iso[..., None], comp_r[..., None], 0.0)
-    atten_r = atten_r * _tex_or_white(tex, tables.specular_tid[bid], uv)
+    atten_r = atten_r * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
     valid_r = (n_dot_i_r >= EPSILON_FLOAT) & (pdf_r >= EPSILON)
 
     # --- refraction branch (wi = -wt; local z flipped, dielectric.cpp:102-146)
@@ -511,7 +512,7 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     n_dot_i_t = wi_local_t[..., 2]
     h_dot_i_t = -dot(wt, h)
     h_dot_o_t = -h_dot_o
-    f_t = fresnel_schlick(h_dot_i_t, tables.reflectivity[bid])
+    f_t = fresnel_schlick(h_dot_i_t, take_rows(tables.reflectivity, bid))
     denom = sqr(eta_inv * h_dot_i_t + h_dot_o_t)
     pdf_t = (1.0 - f_t) * d_pdf * jnp.abs(h_dot_o_t / _safe(denom))
     g_t = _g1_ndf(au, av, wi_local_t, h_local, beck) * _g1_ndf(
@@ -522,8 +523,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     ) / jnp.abs(_safe(n_dot_o * denom))
     comp_t = _kc_dielectric(
         kc,
-        tables.f_avg[bid],
-        tables.f_avg_inv[bid],
+        take_rows(tables.f_avg, bid),
+        take_rows(tables.f_avg_inv, bid),
         eta_tab,
         eta_inv_tab,
         n_dot_i_t,
@@ -535,7 +536,7 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     atten_t = jnp.broadcast_to(atten_t_s[..., None], wo.shape)
     atten_t = atten_t + jnp.where(iso[..., None], comp_t[..., None], 0.0)
     atten_t = atten_t * sqr(eta)[..., None]
-    atten_t = atten_t * _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    atten_t = atten_t * _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
     valid_t = (
         (n_dot_i_t >= EPSILON_FLOAT)
         & (h_dot_i_t >= EPSILON_FLOAT)
@@ -552,8 +553,8 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
 
 def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     """csrt dielectric.cpp:148-232 (raw alpha, no sampling scale)."""
-    eta_tab = tables.eta[bid]
-    eta_inv_tab = tables.eta_inv[bid]
+    eta_tab = take_rows(tables.eta, bid)
+    eta_inv_tab = take_rows(tables.eta_inv, bid)
     # NOTE: Evaluate swaps on `inside` (the frame was oriented by -wi)
     eta = jnp.where(inside, eta_inv_tab, eta_tab)
     eta_inv = jnp.where(inside, eta_tab, eta_inv_tab)
@@ -565,13 +566,13 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     h = jnp.where(is_reflect[..., None], h_refl, h_tran)
     h_local = to_local(h, t, b, n)
 
-    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    beck = tables.use_beckmann[bid]
+    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
     h_dot_o = dot(wo, h)
-    f = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    f = fresnel_schlick(h_dot_i, take_rows(tables.reflectivity, bid))
     denom = sqr(eta_inv * h_dot_i + h_dot_o)
     pdf = jnp.where(
         is_reflect,
@@ -594,8 +595,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     n_dot_i = dot(-wi, n)
     comp = _kc_dielectric(
         kc,
-        tables.f_avg[bid],
-        tables.f_avg_inv[bid],
+        take_rows(tables.f_avg, bid),
+        take_rows(tables.f_avg_inv, bid),
         eta_tab,
         eta_inv_tab,
         n_dot_i,
@@ -607,8 +608,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     atten_s = jnp.where(is_reflect, atten_r, atten_t * sqr(eta))
     comp_s = jnp.where(iso, comp, 0.0)
     comp_s = jnp.where(is_reflect, comp_s, comp_s * sqr(eta))
-    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
-    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
     color = jnp.where(is_reflect[..., None], spec, tran)
     atten = (atten_s + comp_s)[..., None] * color
 
@@ -619,9 +620,9 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
 def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     """csrt thin_dielectric.cpp:11-71: double-interface Fresnel, reflect
     or pass straight through (wi = wo)."""
-    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    beck = tables.use_beckmann[bid]
+    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
     h_dot_o = dot(wo, h)
@@ -634,14 +635,14 @@ def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     h_dot_i = dot(-wi_r, h)
     n_dot_o = wo_local[..., 2]
-    f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    f1 = fresnel_schlick(h_dot_i, take_rows(tables.reflectivity, bid))
     f = jnp.where(f1 < 1.0, f1 * 2.0 / (1.0 + f1), f1)
 
     choose_reflect = xi[2] < f
     pdf = jnp.where(choose_reflect, pdf0 * f, pdf0 * (1.0 - f))
     base = jnp.where(choose_reflect, f, 1.0 - f) * d_pdf * g / (4.0 * _safe(n_dot_o))
-    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
-    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
     atten = base[..., None] * jnp.where(choose_reflect[..., None], spec, tran)
     wi = jnp.where(choose_reflect[..., None], wi_r, wo)
 
@@ -660,21 +661,21 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
 
     h = normalize(-wi + wo_eff)
     h_local = to_local(h, t, b, n)
-    au = jnp.maximum(_scalar_tex(tex, tables.roughness_u_tid[bid], uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, tables.roughness_v_tid[bid], uv), _MIN_ALPHA)
-    beck = tables.use_beckmann[bid]
+    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
     h_dot_o = dot(wo, h)
-    f1 = fresnel_schlick(h_dot_i, tables.reflectivity[bid])
+    f1 = fresnel_schlick(h_dot_i, take_rows(tables.reflectivity, bid))
     f = jnp.where(f1 < 1.0, f1 * 2.0 / (1.0 + f1), f1)
 
     pdf = jnp.where(is_reflect, f, 1.0 - f) * d / (4.0 * _safe(h_dot_o))
     wi_local = to_local(-wi, t, b, n)
     g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     base = jnp.where(is_reflect, f, 1.0 - f) * d * g / (4.0 * _safe(n_dot_o))
-    spec = _tex_or_white(tex, tables.specular_tid[bid], uv)
-    tran = _tex_or_white(tex, tables.transmit_tid[bid], uv)
+    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
     atten = base[..., None] * jnp.where(is_reflect[..., None], spec, tran)
 
     valid = (pdf >= EPSILON) & (jnp.abs(n_dot_o_raw) >= EPSILON_FLOAT)
@@ -682,8 +683,8 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
 
 
 def _plastic_lobe_weights(tables, tex, bid, uv):
-    kd = textures.eval_color(tex, tables.diffuse_tid[bid], uv)
-    ks = _tex_or_white(tex, tables.specular_tid[bid], uv)
+    kd = textures.eval_color(tex, take_rows(tables.diffuse_tid, bid), uv)
+    ks = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
     w_spec = jnp.sum(ks, axis=-1) / _safe(
         jnp.sum(kd, axis=-1) + jnp.sum(ks, axis=-1)
     )
@@ -694,9 +695,9 @@ def _sample_plastic(tables, tex, bid, uv, wo, n, t, b, xi):
     """Clear-coat GGX + Fresnel-weighted Lambert base
     (csrt plastic.cpp:12-98)."""
     kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
-    refl = tables.reflectivity[bid]
-    f_avg = tables.f_avg[bid]
-    alpha = jnp.maximum(_scalar_tex(tex, tables.roughness_tid[bid], uv), _MIN_ALPHA)
+    refl = take_rows(tables.reflectivity, bid)
+    f_avg = take_rows(tables.f_avg, bid)
+    alpha = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
 
     n_dot_o = dot(wo, n)
     kr_o = fresnel_schlick(n_dot_o, refl)
@@ -761,9 +762,9 @@ def _sample_plastic(tables, tex, bid, uv, wo, n, t, b, xi):
 def _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b):
     """csrt plastic.cpp:100-168."""
     kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
-    refl = tables.reflectivity[bid]
-    f_avg = tables.f_avg[bid]
-    alpha = jnp.maximum(_scalar_tex(tex, tables.roughness_tid[bid], uv), _MIN_ALPHA)
+    refl = take_rows(tables.reflectivity, bid)
+    f_avg = take_rows(tables.f_avg, bid)
+    alpha = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
 
     n_dot_o = dot(wo, n)
     n_dot_i = dot(-wi, n)
@@ -814,11 +815,11 @@ def _eval_clearcoat(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     h_local = to_local(h, t, b, n)
     cos_o = dot(wo, n)
     cos_i = dot(-wi, n)
-    clear = tables.clear_coat[bid]
+    clear = take_rows(tables.clear_coat, bid)
     f_coat = fresnel_dielectric(jnp.abs(dot(-wi, h)), 1.0 / 1.5)
     w_coat = clear * f_coat
     a_coat = jnp.maximum(
-        _scalar_tex(tex, tables.coat_roughness_tid[bid], uv), _MIN_ALPHA
+        _scalar_tex(tex, take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
     )
     d_coat = pdf_ggx(a_coat, a_coat, h_local)
     pdf_coat = d_coat / (4.0 * _safe(jnp.abs(dot(wo, h))))
@@ -844,13 +845,13 @@ def _sample_clearcoat(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     sample recomputes exactly the eval mixture,
     clear_coated_conductor.cpp:29-112)."""
     cos_o = dot(wo, n)
-    clear = tables.clear_coat[bid]
+    clear = take_rows(tables.clear_coat, bid)
     w_sel = clear * fresnel_dielectric(jnp.abs(cos_o), 1.0 / 1.5)
     choose_coat = xi[2] < w_sel
 
     # coat branch: sample coat GGX and reflect
     a_coat = jnp.maximum(
-        _scalar_tex(tex, tables.coat_roughness_tid[bid], uv), _MIN_ALPHA
+        _scalar_tex(tex, take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
     )
     h_local_c, _ = sample_ggx(xi[0], xi[1], a_coat, a_coat)
     h_c = to_world(h_local_c, t, b, n)
@@ -888,7 +889,7 @@ def bsdf_sample(tables: BsdfTables, tex, present_types, bid, wo, normal,
     bid = jnp.maximum(bid, 0)
     n, inside = orient_frame(normal, tangent, bitangent, inside, wo)
     t, b = tangent, bitangent
-    btype = tables.btype[bid]
+    btype = take_rows(tables.btype, bid)
     if kc is None:
         kc = (jnp.zeros((128, 128)), jnp.zeros((128,)))
 
@@ -907,7 +908,7 @@ def bsdf_sample(tables: BsdfTables, tex, present_types, bid, wo, normal,
     if BsdfType.DIFFUSE in present_types:
         m = btype == BsdfType.DIFFUSE
         w_, p_, a_, v_ = _sample_diffuse(
-            tex, tables.diffuse_tid[bid], uv, n, t, b, xi
+            tex, take_rows(tables.diffuse_tid, bid), uv, n, t, b, xi
         )
         merge(m, w_, p_, a_, v_)
 
@@ -975,7 +976,7 @@ def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
     bid = jnp.maximum(bid, 0)
     n, inside = orient_frame(normal, tangent, bitangent, inside, -wi)
     t, b = tangent, bitangent
-    btype = tables.btype[bid]
+    btype = take_rows(tables.btype, bid)
     if kc is None:
         kc = (jnp.zeros((128, 128)), jnp.zeros((128,)))
 
@@ -991,7 +992,7 @@ def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
 
     if BsdfType.DIFFUSE in present_types:
         m = btype == BsdfType.DIFFUSE
-        p_, a_, v_ = _eval_diffuse(tex, tables.diffuse_tid[bid], uv, n, wi, wo)
+        p_, a_, v_ = _eval_diffuse(tex, take_rows(tables.diffuse_tid, bid), uv, n, wi, wo)
         merge(m, p_, a_, v_)
 
     if BsdfType.ROUGH_DIFFUSE in present_types:
@@ -1039,17 +1040,17 @@ def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
 def get_radiance(tables: BsdfTables, tex, bid, uv):
     """Area-light emitted radiance (csrt bsdf.cpp:255-265)."""
     bid = jnp.maximum(bid, 0)
-    is_light = tables.btype[bid] == BsdfType.AREA_LIGHT
-    rad = textures.eval_color(tex, jnp.maximum(tables.radiance_tid[bid], 0), uv)
+    is_light = take_rows(tables.btype, bid) == BsdfType.AREA_LIGHT
+    rad = textures.eval_color(tex, jnp.maximum(take_rows(tables.radiance_tid, bid), 0), uv)
     return jnp.where(is_light[..., None], rad, 0.0)
 
 
 def is_emitter(tables: BsdfTables, bid):
-    return tables.btype[jnp.maximum(bid, 0)] == BsdfType.AREA_LIGHT
+    return take_rows(tables.btype, jnp.maximum(bid, 0)) == BsdfType.AREA_LIGHT
 
 
 def is_twosided(tables: BsdfTables, bid):
-    return tables.twosided[jnp.maximum(bid, 0)]
+    return take_rows(tables.twosided, jnp.maximum(bid, 0))
 
 
 def is_connectible(tables: BsdfTables, tex, bid, uv, min_alpha: float = 0.05):
@@ -1064,12 +1065,12 @@ def is_connectible(tables: BsdfTables, tex, bid, uv, min_alpha: float = 0.05):
     integrators/bdpt.py keeps the partition summing to 1).  Measured on
     volumetric-caustic/no_medium.xml (scripts/bdpt_variance.py)."""
     b = jnp.maximum(bid, 0)
-    t = tables.btype[b]
+    t = take_rows(tables.btype, b)
     diffuseish = (
         (t == BsdfType.DIFFUSE)
         | (t == BsdfType.ROUGH_DIFFUSE)
         | (t == BsdfType.PLASTIC)
     )
-    au = _scalar_tex(tex, tables.roughness_u_tid[b], uv, default=0.0)
-    av = _scalar_tex(tex, tables.roughness_v_tid[b], uv, default=0.0)
+    au = _scalar_tex(tex, take_rows(tables.roughness_u_tid, b), uv, default=0.0)
+    av = _scalar_tex(tex, take_rows(tables.roughness_v_tid, b), uv, default=0.0)
     return diffuseish | (jnp.maximum(au, av) >= min_alpha)

@@ -17,7 +17,7 @@ import flax.struct
 import jax.numpy as jnp
 import numpy as np
 
-from mcpt_tpu.ops.math import lerp
+from mcpt_tpu.ops.math import lerp, take_rows
 
 TEX_NONE = 0
 TEX_CONSTANT = 1
@@ -36,6 +36,14 @@ class TextureTables:
     bmp_height: jnp.ndarray     # [T] int32
     bmp_channels: jnp.ndarray   # [T] int32 (1, 3, or 4)
     atlas: jnp.ndarray          # [F] float32 packed pixel data
+    #: static set of texture kinds present in the scene — evaluation
+    #: compiles ONLY the branches a scene uses (the bitmap branch is 12
+    #: serialized per-lane atlas gathers; an all-constant scene like
+    #: cornell must never pay for it).  Same pattern as the BSDF
+    #: dispatcher's `present_types`.
+    kinds: tuple = flax.struct.field(
+        pytree_node=False, default=(TEX_CONSTANT, TEX_CHECKERBOARD, TEX_BITMAP)
+    )
 
 
 class TextureBuilder:
@@ -133,6 +141,7 @@ class TextureBuilder:
             bmp_height=jnp.asarray(height),
             bmp_channels=jnp.asarray(channels),
             atlas=jnp.asarray(atlas),
+            kinds=tuple(sorted({info["type"] for info in self.infos})),
         )
 
 
@@ -145,10 +154,10 @@ def _apply_uv(tf, uv):
 def _bitmap_bilinear(tex: TextureTables, tid, u, v):
     """Wrap-around bilinear fetch from the packed atlas
     (csrt src/renderer/textures/bitmap.cpp:6-56)."""
-    w = tex.bmp_width[tid]
-    h = tex.bmp_height[tid]
-    c = tex.bmp_channels[tid]
-    off = tex.bmp_offset[tid]
+    w = take_rows(tex.bmp_width, tid)
+    h = take_rows(tex.bmp_height, tid)
+    c = take_rows(tex.bmp_channels, tid)
+    off = take_rows(tex.bmp_offset, tid)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -185,10 +194,10 @@ def _bitmap_bilinear(tex: TextureTables, tid, u, v):
 def _bitmap_alpha(tex: TextureTables, tid, u, v):
     """Bilinear alpha-channel fetch (4th channel) for opacity masks
     (csrt bitmap.cpp:73-101).  Returns 1.0 for non-RGBA bitmaps."""
-    w = tex.bmp_width[tid]
-    h = tex.bmp_height[tid]
-    c = tex.bmp_channels[tid]
-    off = tex.bmp_offset[tid]
+    w = take_rows(tex.bmp_width, tid)
+    h = take_rows(tex.bmp_height, tid)
+    c = take_rows(tex.bmp_channels, tid)
+    off = take_rows(tex.bmp_offset, tid)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
     x = u * wf
@@ -211,28 +220,35 @@ def _bitmap_alpha(tex: TextureTables, tid, u, v):
 
 def eval_color(tex: TextureTables, tid, uv):
     """Evaluate texture `tid` at `uv`.  `tid`: [...] int32, `uv`: [..., 2].
-    Returns [..., 3].  Masked evaluation over the three kinds."""
+    Returns [..., 3].  Masked evaluation over the kinds the scene
+    actually contains (`tex.kinds`, static): an all-constant scene
+    compiles to one one-hot table contraction — no UV math, no atlas
+    gathers."""
     tid = jnp.clip(tid, 0, tex.ttype.shape[0] - 1)
-    tf = tex.uv_transform[tid]
+    const_c = take_rows(tex.color0, tid)
+    needs_uv = (TEX_CHECKERBOARD in tex.kinds) or (TEX_BITMAP in tex.kinds)
+    if not needs_uv:
+        return const_c
+
+    tf = take_rows(tex.uv_transform, tid)
     u, v = _apply_uv(tf, uv)
-    ttype = tex.ttype[tid]
-
-    const_c = tex.color0[tid]
-
-    # checkerboard (csrt checkboard.cpp:6-22)
-    uw = u - jnp.floor(u)
-    vw = v - jnp.floor(v)
-    cx = 2 * ((uw * 2).astype(jnp.int32) % 2) - 1
-    cy = 2 * ((vw * 2).astype(jnp.int32) % 2) - 1
-    checker_c = jnp.where(
-        ((cx * cy) == 1)[..., None], tex.color0[tid], tex.color1[tid]
-    )
-
-    bitmap_c = _bitmap_bilinear(tex, tid, u, v)
-
+    ttype = take_rows(tex.ttype, tid)
     out = jnp.where((ttype == TEX_CONSTANT)[..., None], const_c, 0.0)
-    out = jnp.where((ttype == TEX_CHECKERBOARD)[..., None], checker_c, out)
-    out = jnp.where((ttype == TEX_BITMAP)[..., None], bitmap_c, out)
+
+    if TEX_CHECKERBOARD in tex.kinds:
+        # checkerboard (csrt checkboard.cpp:6-22)
+        uw = u - jnp.floor(u)
+        vw = v - jnp.floor(v)
+        cx = 2 * ((uw * 2).astype(jnp.int32) % 2) - 1
+        cy = 2 * ((vw * 2).astype(jnp.int32) % 2) - 1
+        checker_c = jnp.where(
+            ((cx * cy) == 1)[..., None], const_c, take_rows(tex.color1, tid)
+        )
+        out = jnp.where((ttype == TEX_CHECKERBOARD)[..., None], checker_c, out)
+
+    if TEX_BITMAP in tex.kinds:
+        bitmap_c = _bitmap_bilinear(tex, tid, u, v)
+        out = jnp.where((ttype == TEX_BITMAP)[..., None], bitmap_c, out)
     return out
 
 
@@ -260,10 +276,15 @@ def eval_opacity(tex: TextureTables, tid, uv):
     """Opacity in [0,1]: constant → color.x, RGBA bitmap → alpha channel
     (csrt constant_texture.cpp:20-24, bitmap.cpp:73-101)."""
     tid = jnp.clip(tid, 0, tex.ttype.shape[0] - 1)
-    tf = tex.uv_transform[tid]
-    u, v = _apply_uv(tf, uv)
-    ttype = tex.ttype[tid]
-    alpha = jnp.ones_like(u)
-    alpha = jnp.where(ttype == TEX_CONSTANT, tex.color0[tid][..., 0], alpha)
-    alpha = jnp.where(ttype == TEX_BITMAP, _bitmap_alpha(tex, tid, u, v), alpha)
+    ttype = take_rows(tex.ttype, tid)
+    alpha = jnp.ones(tid.shape, jnp.float32)
+    alpha = jnp.where(
+        ttype == TEX_CONSTANT, take_rows(tex.color0, tid)[..., 0], alpha
+    )
+    if TEX_BITMAP in tex.kinds:
+        tf = take_rows(tex.uv_transform, tid)
+        u, v = _apply_uv(tf, uv)
+        alpha = jnp.where(
+            ttype == TEX_BITMAP, _bitmap_alpha(tex, tid, u, v), alpha
+        )
     return alpha

@@ -27,6 +27,42 @@ def to_radians(deg):
     return deg * (PI / 180.0)
 
 
+#: Tables at or below this many rows are looked up with a dense one-hot
+#: contraction instead of a per-lane gather (TPU gathers serialize; the
+#: [N, T] mask product is pure VPU/MXU work).  Scene tables — textures,
+#: BSDF rows, instance maps — are tiny, so this covers all of them.
+TAKE_ROWS_DENSE_MAX = 512
+
+
+def take_rows(table, idx):
+    """``table[idx]`` without per-lane gathers for small tables.
+
+    table: [T] or [T, C...]; idx: [...] int32 (rows outside [0, T)
+    return zeros).  Per-lane dynamic gathers serialize on the TPU VPU
+    (round-2 measurement: replacing the emissive-table gathers with a
+    one-hot contraction took NEE 1.03 -> 0.57 ms at 64k lanes); for the
+    small scene-constant tables the masked [*, T] reduction is far
+    faster and differentiable w.r.t. `table`.  Falls back to the plain
+    gather above :data:`TAKE_ROWS_DENSE_MAX` rows."""
+    t = table.shape[0]
+    if t > TAKE_ROWS_DENSE_MAX:
+        return table[jnp.clip(idx, 0, t - 1)]
+    oh = idx[..., None] == jnp.arange(t, dtype=idx.dtype)
+    if table.ndim == 1:
+        if table.dtype == jnp.bool_:
+            return jnp.any(oh & table, axis=-1)
+        return jnp.sum(jnp.where(oh, table, 0), axis=-1)
+    flat = table.reshape(t, -1)
+    if jnp.issubdtype(table.dtype, jnp.floating):
+        # full-precision contraction: the default TPU matmul rounds f32
+        # operands to bf16, which would quantize the table VALUES (a
+        # one-hot row select must return rows bit-exactly)
+        out = jnp.matmul(oh.astype(table.dtype), flat, precision="highest")
+    else:
+        out = jnp.sum(jnp.where(oh[..., None], flat, 0), axis=-2)
+    return out.reshape(idx.shape + table.shape[1:])
+
+
 def dot(a, b, keepdims: bool = False):
     """Batched dot product over the trailing axis."""
     return jnp.sum(a * b, axis=-1, keepdims=keepdims)

@@ -24,7 +24,15 @@ def _needs_reexec() -> bool:
     # it); that's fine — execve replaces the whole process.
     tainted = os.environ.get("JAX_PLATFORMS", "cpu") != "cpu"
     missing_flag = _WANT_XLA.split("=")[0] not in os.environ.get("XLA_FLAGS", "")
-    return tainted or missing_flag
+    # the axon sitecustomize force-registers the TPU plugin and WINS over
+    # JAX_PLATFORMS=cpu set in the environment (it re-exports the var at
+    # interpreter start) — a caller presetting cpu+flags still ends up on
+    # the chip unless the hook is stripped from PYTHONPATH
+    plugin = any(
+        p and "axon" in p
+        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    return tainted or missing_flag or plugin
 
 
 def pytest_configure(config):

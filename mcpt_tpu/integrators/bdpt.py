@@ -36,6 +36,7 @@ from jax import lax
 
 from mcpt_tpu.integrators.path import (
     HitAttrs,
+    _stex,
     _bsdf_eval,
     _direct_lighting,
     _escape_pdf,
@@ -168,7 +169,7 @@ def _light_subpath(scene: SceneData, integ, seed, n):
         # extend: sample the scattered continuation and update beta
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi_ps, pdf_ps, f_ps, v_ps = bsdfs.bsdf_sample(
-            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
+            scene.bsdf, _stex(scene), scene.present_types, hit.bsdf_id,
             -wi_in, hit.normal, hit.tangent, hit.bitangent, hit.inside,
             hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
         )
@@ -224,8 +225,8 @@ def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
     # w_cont gate in shade() keeps the pairwise partition summing to 1
     ok = (
         ok
-        & bsdfs.is_connectible(scene.bsdf, scene.tex, vert.bsdf_id, vert.uv)
-        & bsdfs.is_connectible(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+        & bsdfs.is_connectible(scene.bsdf, _stex(scene), vert.bsdf_id, vert.uv)
+        & bsdfs.is_connectible(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv)
     )
 
     # unweighted contribution: beta_in * (f_v / cos_in) * G * (f_c /
@@ -277,7 +278,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     if not integ.hide_emitters:
         L = L + jnp.where(
             (emitter0 & ~backface0)[..., None],
-            bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv),
+            bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv),
             0.0,
         )
     alive = hit.valid & ~emitter0 & ~backface0
@@ -331,7 +332,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- continuation
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi, pdf_b, f, valid_b = bsdfs.bsdf_sample(
-            scene.bsdf, scene.tex, scene.present_types, hit.bsdf_id,
+            scene.bsdf, _stex(scene), scene.present_types, hit.bsdf_id,
             wo, hit.normal, hit.tangent, hit.bitangent, hit.inside,
             hit.uv, xi_b, kc=(scene.brdf_avg, scene.albedo_avg),
         )
@@ -368,7 +369,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
-        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit2.bsdf_id, hit2.uv)
         # back faces absorb BEFORE emitter radiance is added — one-sided
         # lights emit from the front only (ShadePath order, path.cpp:99-124)
         backface2 = (
@@ -390,7 +391,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         pdf_area_cont = scene.map_inst_area_pdf[jnp.maximum(hit2.inst_id, 0)]
         pdf_direct_cont = pdf_area_cont * (t_safe * t_safe) / cos_cont
         both_conn = (
-            bsdfs.is_connectible(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+            bsdfs.is_connectible(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv)
             & bsdfs.is_connectible(
                 scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv
             )

@@ -65,6 +65,16 @@ class HitAttrs(NamedTuple):
     inst_id: jnp.ndarray   # [N] int32
 
 
+def _stex(scene: SceneData):
+    """Texture view for surface shading: evaluation kinds restricted to
+    what the BSDF tables can reach (scene.surface_kinds).  Emitter-only
+    bitmaps (envmap radiance, sun/sky, spot projection) otherwise force
+    the 12-gather bitmap branch into every BSDF parameter read — ~10 ms
+    per eval at 64k lanes on a v5e for scenes whose surfaces are all
+    constant/checkerboard (the whole matpreview family)."""
+    return scene.tex.replace(kinds=scene.surface_kinds)
+
+
 def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
     """Barycentric attribute interpolation (csrt triangle.cpp:116-147)."""
     g = scene.geom
@@ -110,7 +120,7 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
         bump_tid = take_rows(scene.bsdf.bump_tid, jnp.maximum(bsdf_id, 0))
         has_bump = (bump_tid >= 0) & (bsdf_id >= 0)
         grad = textures.eval_gradient(
-            scene.tex, jnp.maximum(bump_tid, 0), uv
+            _stex(scene), jnp.maximum(bump_tid, 0), uv
         )
         n_b = normalize(
             -grad[..., 0:1] * tangent - grad[..., 1:2] * bitangent + normal
@@ -153,7 +163,7 @@ def apply_opacity(scene: SceneData, hit: HitAttrs, seed):
     seed, u = rng.random_float(seed)
     tid = take_rows(scene.bsdf.opacity_tid, jnp.maximum(hit.bsdf_id, 0))
     has = (tid >= 0) & (hit.bsdf_id >= 0) & hit.valid
-    alpha = textures.eval_opacity(scene.tex, jnp.maximum(tid, 0), hit.uv)
+    alpha = textures.eval_opacity(_stex(scene), jnp.maximum(tid, 0), hit.uv)
     transparent = has & (u >= alpha)
     return hit._replace(
         bsdf_id=jnp.where(transparent, -1, hit.bsdf_id)
@@ -193,14 +203,14 @@ def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
         pos = jnp.where(mf, qpos, pos)
         nrm = jnp.where(mf, qnrm, nrm)
         uv = jnp.where(mf, quv, uv)
-    radiance = textures.eval_color(scene.tex, jnp.maximum(radiance_tid, 0), uv)
+    radiance = textures.eval_color(_stex(scene), jnp.maximum(radiance_tid, 0), uv)
     return pos, nrm, radiance, pdf_area_c
 
 
 def _bsdf_eval(scene, hit, wi, wo):
     return bsdfs.bsdf_evaluate(
         scene.bsdf,
-        scene.tex,
+        _stex(scene),
         scene.present_types,
         hit.bsdf_id,
         wi,
@@ -221,7 +231,9 @@ def nee_draw_count(scene: SceneData) -> int:
     if scene.n_emissive:
         k += 3
     k += 2 * len(scene.emitter_rows)
-    if scene.env_kind != "none":
+    if scene.env_kind == "envmap":
+        k += 3  # row+jitter, col+jitter, alias coin
+    elif scene.env_kind == "constant":
         k += 2
     return max(k, 1)
 
@@ -274,7 +286,8 @@ def _shadow_ok(scene, hit, wi, dist, geo_ok):
     return geo_ok & ~occluded
 
 
-def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi):
+def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
+                     differentiable: bool = False):
     """All-emitter NEE: every analytic emitter + one CDF-sampled area
     light + the escape emitter, each against its own shadow ray
     (csrt EvaluateDirectLightPath, path.cpp:138-236)."""
@@ -316,14 +329,16 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi):
         L = L + jnp.where((ok & f_valid)[..., None], rad * f, 0.0)
 
     if scene.env_kind != "none":
-        xi0, xi1 = xi[cursor], xi[cursor + 1]
         if scene.env_kind == "envmap":
             wi, dist, rad, pdf, valid = emitters.sample_envmap(
-                scene.env, scene.tex, hit.position, xi0, xi1
+                scene.env, scene.tex, hit.position,
+                xi[cursor], xi[cursor + 1], xi[cursor + 2],
+                differentiable=differentiable,
             )
         else:  # constant
             wi, dist, rad, pdf, valid = emitters.sample_constant(
-                scene.emitters, scene.env_row, hit.position, xi0, xi1
+                scene.emitters, scene.env_row, hit.position,
+                xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
         ok = _shadow_ok(scene, hit, wi, dist, geo_ok)
@@ -337,11 +352,13 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi):
     return L
 
 
-def _escape_radiance(scene: SceneData, look_dir):
+def _escape_radiance(scene: SceneData, look_dir, differentiable: bool = False):
     """Escape-ray emitter radiance (envmap / constant; primary rays also
     see the sun bitmap — path.cpp:24-35)."""
     if scene.env_kind == "envmap":
-        return emitters.eval_envmap(scene.env, scene.tex, look_dir)
+        return emitters.eval_envmap(
+            scene.env, scene.tex, look_dir, differentiable=differentiable
+        )
     if scene.env_kind == "constant":
         return jnp.broadcast_to(
             scene.emitters.radiance[scene.env_row], look_dir.shape
@@ -379,7 +396,9 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     # primary-ray escape: envmap/constant + sun bitmap (path.cpp:24-35)
     if scene.env_kind != "none":
         L = L + jnp.where(
-            ~hit.valid[..., None], _escape_radiance(scene, d), 0.0
+            ~hit.valid[..., None],
+            _escape_radiance(scene, d, differentiable),
+            0.0,
         )
     if scene.sun_row >= 0:
         L = L + jnp.where(
@@ -396,7 +415,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     if not integ.hide_emitters:
         L = L + jnp.where(
             (emitter0 & ~backface0)[..., None],
-            bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv),
+            bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv),
             0.0,
         )
 
@@ -431,13 +450,15 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
 
         # --- 2. NEE over every emitter (scene-static draw count)
         seed, xi_nee = rng.random_floats(seed, n_nee)
-        L = L + beta * _direct_lighting(scene, hit, wo, alive, xi_nee)
+        L = L + beta * _direct_lighting(
+            scene, hit, wo, alive, xi_nee, differentiable
+        )
 
         # --- 3. BSDF sample (path.cpp:66-74)
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi, pdf_b, f, valid_b = bsdfs.bsdf_sample(
             scene.bsdf,
-            scene.tex,
+            _stex(scene),
             scene.present_types,
             hit.bsdf_id,
             wo,
@@ -468,7 +489,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- escape -> envmap/constant with MIS (path.cpp:81-93)
         if scene.env_kind != "none":
             esc = alive & ~hit2.valid
-            rad_esc = _escape_radiance(scene, d2)
+            rad_esc = _escape_radiance(scene, d2, differentiable)
             pdf_esc = _escape_pdf(scene, d2)
             w_esc = mis_weight(pdf_mis, pdf_esc)
             L = L + jnp.where(
@@ -486,7 +507,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
-        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit2.bsdf_id, hit2.uv)
         # back faces absorb BEFORE emitter radiance is added — one-sided
         # lights emit from the front only (ShadePath order, path.cpp:99-124)
         backface2 = (
@@ -644,7 +665,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
-        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv)
         backface = hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id) & has_b
         take_em = (
             alive & hit.valid & emitter & ~backface
@@ -671,7 +692,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi, pdf_b, f, valid_b = bsdfs.bsdf_sample(
             scene.bsdf,
-            scene.tex,
+            _stex(scene),
             scene.present_types,
             hit.bsdf_id,
             wi_in,

@@ -24,6 +24,7 @@ from jax import lax
 
 from mcpt_tpu.integrators.path import (
     HitAttrs,
+    _stex,
     _escape_pdf,
     _escape_radiance,
     _sample_area_light,
@@ -67,7 +68,7 @@ def _eval_vertex(scene, hit, scattering, cur_mid, wi, wo):
     BSDF eval on surface lanes, phase eval on medium lanes."""
     pdf_b, f_b, v_b = bsdfs.bsdf_evaluate(
         scene.bsdf,
-        scene.tex,
+        _stex(scene),
         scene.present_types,
         hit.bsdf_id,
         wi,
@@ -174,14 +175,15 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         )
 
     if scene.env_kind != "none":
-        xi0, xi1 = xi[cursor], xi[cursor + 1]
         if scene.env_kind == "envmap":
             wi, dist, rad, pdf, valid = emitters.sample_envmap(
-                scene.env, scene.tex, origin, xi0, xi1
+                scene.env, scene.tex, origin,
+                xi[cursor], xi[cursor + 1], xi[cursor + 2]
             )
         else:
             wi, dist, rad, pdf, valid = emitters.sample_constant(
-                scene.emitters, scene.env_row, origin, xi0, xi1
+                scene.emitters, scene.env_row, origin,
+                xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & surface_cos_ok(wi)
         occluded = scene_any(
@@ -249,7 +251,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     if not integ.hide_emitters:
         L = L + jnp.where(
             (emitter0 & ~backface0)[..., None],
-            bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv),
+            bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv),
             0.0,
         )
 
@@ -291,7 +293,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi_s, pdf_s, f_s, v_s = bsdfs.bsdf_sample(
             scene.bsdf,
-            scene.tex,
+            _stex(scene),
             scene.present_types,
             hit.bsdf_id,
             wo,
@@ -363,7 +365,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
-        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit2.bsdf_id, hit2.uv)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit2.bsdf_id, hit2.uv)
         backface2 = (
             hit2.inside & ~bsdfs.is_twosided(scene.bsdf, hit2.bsdf_id) & has_b
         )
@@ -541,7 +543,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
             pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
         )
         w_bsdf = mis_weight(pdf_mis, pdf_direct)
-        rad = bsdfs.get_radiance(scene.bsdf, scene.tex, hit.bsdf_id, hit.uv)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv)
         backface = (
             hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id) & has_b
         )
@@ -573,7 +575,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
         wi_s, pdf_s, f_s, v_s = bsdfs.bsdf_sample(
             scene.bsdf,
-            scene.tex,
+            _stex(scene),
             scene.present_types,
             hit.bsdf_id,
             wi_in,

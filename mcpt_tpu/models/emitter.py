@@ -25,6 +25,7 @@ Documented deviations:
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,8 +47,6 @@ from mcpt_tpu.ops.math import (
 from mcpt_tpu.ops.warps import (
     sample_cone_uniform,
     sample_sphere_uniform,
-    searchsorted_cdf,
-    searchsorted_cdf_rows,
 )
 from mcpt_tpu.scene.ir import EmitterType
 
@@ -72,15 +71,23 @@ class EmitterTables:
 
 @flax.struct.dataclass
 class EnvMapData:
-    """Importance-sampled lat-long environment map
-    (csrt envmap.cpp:20-68 CDF build)."""
+    """Importance-sampled lat-long environment map.
+
+    The reference inverts a row CDF + per-row column CDF per draw
+    (csrt envmap.cpp:20-98) — two binary searches.  On a TPU every
+    per-lane dynamic gather costs the same ~0.85 ms at 64k lanes
+    regardless of table size (scripts/gather_probe.py), so the two
+    searches (~23 serialized gather rounds) dominated every
+    bitmap-envmap scene.  Redesign: a Walker/Vose alias table — one
+    [n,2] row gather resolves the texel, one [n,4] row gather returns
+    its (radiance, pdf·sinθ).  Identical sampling distribution
+    (texel-proportional to luminance·sinθ), ~10x fewer gather ops."""
 
     tid: jnp.ndarray        # radiance texture id (bitmap), int32 scalar
     to_world: jnp.ndarray   # [4, 4] (rotation only is meaningful)
     to_local: jnp.ndarray   # [4, 4]
-    cdf_rows: jnp.ndarray   # [H + 1] row marginal CDF
-    cdf_cols: jnp.ndarray   # [H, W + 1] per-row conditional CDFs
-    pdf_sin: jnp.ndarray    # [H, W] pdf(omega) * sin(theta) per texel
+    alias_tab: jnp.ndarray  # [n, 2] int32: (bitcast f32 accept-prob, alias idx)
+    texel_tab: jnp.ndarray  # [n, 4] f32: (r, g, b, pdf(omega)*sin(theta))
     width: int = flax.struct.field(pytree_node=False)
     height: int = flax.struct.field(pytree_node=False)
 
@@ -233,13 +240,48 @@ def sample_constant(tables, e, origin, xi0, xi1):
 # Environment map
 
 
+def _alias_build_py(weights: np.ndarray):
+    """Python oracle for native alias_build (Vose 1991).  Same pairing
+    order as native/alias.c so tables match bit-for-bit on small inputs."""
+    weights = np.asarray(weights, np.float64).reshape(-1)
+    n = weights.shape[0]
+    total = float(weights.sum())
+    if not total > 0.0:
+        raise ValueError("alias build: weights sum to zero")
+    scaled = weights * (n / total)
+    prob = np.ones(n, np.float32)
+    al = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = np.float32(scaled[s])
+        al[s] = l
+        scaled[l] -= 1.0 - scaled[s]
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+        al[i] = i
+    return prob, al
+
+
 def build_envmap(pixels: np.ndarray, to_world: np.ndarray, tid: int) -> EnvMapData:
-    """Host-side luminance CDF build (csrt CreateEnvMapCdfPdf,
-    envmap.cpp:20-68) in vectorized numpy.
+    """Host-side alias-table build over luminance·sinθ texel importance
+    (replaces csrt's CDF build, CreateEnvMapCdfPdf envmap.cpp:20-68 —
+    same per-texel sampling probability, O(1) gathers per draw).
 
     pixels: [H, W, 3] float32 linear radiance (the registered bitmap).
+    Maps larger than 2^24 texels are box-downscaled 2x until they fit so
+    a 24-bit uniform can index rows/cols exactly.
     """
     pixels = np.asarray(pixels, np.float32)
+    while pixels.shape[0] * pixels.shape[1] > (1 << 24):
+        h2, w2 = pixels.shape[0] // 2 * 2, pixels.shape[1] // 2 * 2
+        p = pixels[:h2, :w2]
+        pixels = 0.25 * (
+            p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+        )
     h, w = pixels.shape[:2]
     lum = (
         0.2126 * pixels[..., 0]
@@ -249,29 +291,30 @@ def build_envmap(pixels: np.ndarray, to_world: np.ndarray, tid: int) -> EnvMapDa
     sin_row = np.sin((np.arange(h) + 0.5) * np.pi / h).astype(np.float32)
     f = lum * sin_row[:, None]  # [H, W] importance
     f = np.maximum(f, 0.0)
-    row_sum = f.sum(axis=1)
     total = max(float(f.sum()), 1e-20)
 
-    cdf_rows = np.zeros(h + 1, np.float32)
-    np.cumsum(row_sum / total, out=cdf_rows[1:])
-    cdf_rows[-1] = 1.0
+    if f.size <= 4096:
+        prob, al = _alias_build_py(f)
+    else:
+        from mcpt_tpu import native
 
-    cdf_cols = np.zeros((h, w + 1), np.float32)
-    np.cumsum(f / np.maximum(row_sum, 1e-20)[:, None], axis=1, out=cdf_cols[:, 1:])
-    cdf_cols[:, -1] = 1.0
+        prob, al = native.alias_build(f)
 
     # pdf(omega) = p_texel * (W*H) / (2 pi^2 sin(theta));
-    # store pdf*sin so eval needs one gather + the actual sin(theta).
-    pdf_sin = (f / total) * (w * h) / (2.0 * np.pi**2)
+    # store pdf*sin so eval needs only the actual sin(theta).
+    pdf_sin = (f.reshape(-1) / total) * (w * h) / (2.0 * np.pi**2)
+    texel_tab = np.concatenate(
+        [pixels.reshape(-1, 3), pdf_sin[:, None].astype(np.float32)], axis=1
+    )
+    alias_tab = np.stack([prob.view(np.int32), al], axis=1)
 
     m = np.asarray(to_world, np.float32)
     return EnvMapData(
         tid=jnp.int32(tid),
         to_world=jnp.asarray(m),
         to_local=jnp.asarray(np.linalg.inv(m)),
-        cdf_rows=jnp.asarray(cdf_rows),
-        cdf_cols=jnp.asarray(cdf_cols),
-        pdf_sin=jnp.asarray(pdf_sin),
+        alias_tab=jnp.asarray(alias_tab),
+        texel_tab=jnp.asarray(texel_tab),
         width=w,
         height=h,
     )
@@ -284,25 +327,41 @@ def _dir_to_uv(env: EnvMapData, look_dir):
     return jnp.stack([phi * INV_TWO_PI, theta * INV_PI], axis=-1), theta
 
 
-def sample_envmap(env: EnvMapData, tex, origin, xi0, xi1):
-    """2D CDF inversion with in-cell uniform offset.  Returns
+def sample_envmap(env: EnvMapData, tex, origin, xi0, xi1, xi2,
+                  differentiable: bool = False):
+    """Alias-table texel draw with in-texel uniform jitter.  Returns
     (wi, dist, radiance, pdf, valid); wi = light travel direction
-    = -(direction toward the env texel)."""
-    row = searchsorted_cdf(env.cdf_rows, xi0)
-    lo_r = env.cdf_rows[row]
-    hi_r = env.cdf_rows[row + 1]
-    v_frac = (xi0 - lo_r) / jnp.maximum(hi_r - lo_r, 1e-12)
+    = -(direction toward the env texel).
 
-    # per-lane binary search inside row `row` of the column CDF —
-    # never materialize the [N, W+1] row gather (HBM-traffic disaster
-    # at production lane counts; see searchsorted_cdf_rows)
-    col = searchsorted_cdf_rows(env.cdf_cols, row, xi1)
-    lo_c = env.cdf_cols[row, col]
-    hi_c = env.cdf_cols[row, col + 1]
-    u_frac = (xi1 - lo_c) / jnp.maximum(hi_c - lo_c, 1e-12)
+    Draw decomposition (three uniforms, full 24-bit mantissa where it
+    matters): xi0 -> row index + in-texel v jitter (its fraction), xi1 ->
+    column index + u jitter, xi2 -> the alias accept coin.  The texel
+    distribution is exactly luminance·sinθ-proportional, matching the
+    reference's CDF inversion (envmap.cpp:70-98) with O(1) gathers.
 
-    v = (row.astype(jnp.float32) + jnp.clip(v_frac, 0.0, 1.0)) / env.height
-    u = (col.astype(jnp.float32) + jnp.clip(u_frac, 0.0, 1.0)) / env.width
+    `differentiable=True` reads radiance through the texture atlas
+    (bilinear, gradient flows to the envmap bitmap); the default reads
+    the baked texel table (nearest) — each mode is self-consistent with
+    the matching eval/pdf, keeping MIS unbiased."""
+    h, w = env.height, env.width
+    n = h * w
+    rx = xi0 * h
+    cx = xi1 * w
+    row = jnp.clip(rx.astype(jnp.int32), 0, h - 1)
+    col = jnp.clip(cx.astype(jnp.int32), 0, w - 1)
+    jv = jnp.clip(rx - row.astype(jnp.float32), 0.0, 1.0)
+    ju = jnp.clip(cx - col.astype(jnp.float32), 0.0, 1.0)
+    j = row * w + col
+
+    ar = env.alias_tab[j]                       # [N, 2] row gather
+    prob = jax.lax.bitcast_convert_type(ar[..., 0], jnp.float32)
+    take_own = xi2 < prob
+    jj = jnp.where(take_own, j, ar[..., 1])
+    row = jj // w
+    col = jj - row * w
+
+    v = (row.astype(jnp.float32) + jv) / h
+    u = (col.astype(jnp.float32) + ju) / w
     theta = v * PI
     phi = u * TWO_PI
     dir_local = spherical_to_cartesian(theta, phi)
@@ -311,26 +370,22 @@ def sample_envmap(env: EnvMapData, tex, origin, xi0, xi1):
     )
     wi = -dir_world
 
-    radiance = textures.eval_color(
-        tex, env.tid, jnp.stack([u, v], axis=-1)
-    )
+    tx = env.texel_tab[jj]                      # [N, 4] row gather
+    if differentiable:
+        radiance = textures.eval_color(
+            tex, env.tid, jnp.stack([u, v], axis=-1)
+        )
+    else:
+        radiance = tx[..., :3]
     sin_t = jnp.maximum(jnp.abs(jnp.sin(theta)), 1e-4)
-    pdf = env.pdf_sin[row, col] / sin_t
-    n = origin.shape[0]
-    dist = jnp.full((n,), MAX_FLOAT * 0.5, origin.dtype)
+    pdf = tx[..., 3] / sin_t
+    nlanes = origin.shape[0]
+    dist = jnp.full((nlanes,), MAX_FLOAT * 0.5, origin.dtype)
     valid = pdf > 0.0
     return wi, dist, radiance, pdf, valid
 
 
-def eval_envmap(env: EnvMapData, tex, look_dir):
-    """Escape-ray radiance (csrt envmap.cpp:100-107)."""
-    uv, _ = _dir_to_uv(env, look_dir)
-    return textures.eval_color(tex, env.tid, uv)
-
-
-def pdf_envmap(env: EnvMapData, tex, look_dir):
-    """Sampling pdf of the escape direction for MIS
-    (consistent with sample_envmap; cf. csrt envmap.cpp:109-133)."""
+def _dir_to_texel(env: EnvMapData, look_dir):
     uv, theta = _dir_to_uv(env, look_dir)
     row = jnp.clip(
         (uv[..., 1] * env.height).astype(jnp.int32), 0, env.height - 1
@@ -338,8 +393,25 @@ def pdf_envmap(env: EnvMapData, tex, look_dir):
     col = jnp.clip(
         (uv[..., 0] * env.width).astype(jnp.int32), 0, env.width - 1
     )
+    return uv, theta, row * env.width + col
+
+
+def eval_envmap(env: EnvMapData, tex, look_dir, differentiable: bool = False):
+    """Escape-ray radiance (csrt envmap.cpp:100-107).  Default: baked
+    texel table (one row gather, shared with pdf_envmap's by CSE);
+    differentiable: bilinear atlas read (gradient flows)."""
+    uv, _, j = _dir_to_texel(env, look_dir)
+    if differentiable:
+        return textures.eval_color(tex, env.tid, uv)
+    return env.texel_tab[j][..., :3]
+
+
+def pdf_envmap(env: EnvMapData, tex, look_dir):
+    """Sampling pdf of the escape direction for MIS
+    (consistent with sample_envmap; cf. csrt envmap.cpp:109-133)."""
+    _, theta, j = _dir_to_texel(env, look_dir)
     sin_t = jnp.maximum(jnp.abs(jnp.sin(theta)), 1e-4)
-    return env.pdf_sin[row, col] / sin_t
+    return env.texel_tab[j][..., 3] / sin_t
 
 
 def empty_envmap() -> EnvMapData:
@@ -348,9 +420,8 @@ def empty_envmap() -> EnvMapData:
         tid=jnp.int32(0),
         to_world=jnp.eye(4),
         to_local=jnp.eye(4),
-        cdf_rows=jnp.asarray(np.array([0.0, 1.0], np.float32)),
-        cdf_cols=jnp.asarray(np.array([[0.0, 1.0]], np.float32)),
-        pdf_sin=jnp.zeros((1, 1), jnp.float32),
+        alias_tab=jnp.zeros((1, 2), jnp.int32),
+        texel_tab=jnp.zeros((1, 4), jnp.float32),
         width=1,
         height=1,
     )

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from mcpt_tpu.ops import rng
-from mcpt_tpu.ops.math import lerp, sqr
+from mcpt_tpu.ops.math import sqr
 from mcpt_tpu.ops.microfacet import sample_ggx, smith_g1
 
 LUT_RESOLUTION = 128  # csrt kulla_conty.hpp:9
@@ -75,29 +75,35 @@ def get_tables():
     return jax.device_get(brdf), jax.device_get(albedo)
 
 
+def _tri_weights(x, res):
+    """Triangle-kernel interpolation weights at coordinate `x` in
+    [0, res-1]: weight (1-t) at floor(x) and t at floor(x)+1, zero
+    elsewhere — a *soft one-hot* row, so a bilinear LUT read becomes a
+    dense contraction instead of 4 serialized per-lane gathers (a
+    single gather is ~0.85 ms at 64k lanes on a v5e regardless of table
+    size — scripts/gather_probe.py — while a [N,128]x[128,128] matmul is
+    ~30 us on the MXU)."""
+    iota = jnp.arange(res, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - iota))
+
+
 def lookup_brdf_avg(brdf_avg, cos_theta, roughness):
     """Bilinear LUT lookup, clamped at the top row/col
-    (csrt kulla_conty.cpp:82-131)."""
+    (csrt kulla_conty.cpp:82-131), as two soft-one-hot contractions:
+    weights_mu @ LUT then a weighted row reduction — MXU work, no
+    gathers.  Exactly the separable bilinear of the 4 corner texels."""
     res = LUT_RESOLUTION
-    o1 = roughness * res
-    o2 = cos_theta * res
-    i1 = jnp.clip(o1.astype(jnp.int32), 0, res - 1)
-    i2 = jnp.clip(o2.astype(jnp.int32), 0, res - 1)
-    t1 = jnp.where(i1 >= res - 1, 0.0, o1 - i1.astype(jnp.float32))
-    t2 = jnp.where(i2 >= res - 1, 0.0, o2 - i2.astype(jnp.float32))
-    i1n = jnp.minimum(i1 + 1, res - 1)
-    i2n = jnp.minimum(i2 + 1, res - 1)
-    v00 = brdf_avg[i1, i2]
-    v10 = brdf_avg[i1n, i2]
-    v01 = brdf_avg[i1, i2n]
-    v11 = brdf_avg[i1n, i2n]
-    return lerp(lerp(v00, v10, t1), lerp(v01, v11, t1), t2)
+    x1 = jnp.clip(roughness * res, 0.0, res - 1.0)
+    x2 = jnp.clip(cos_theta * res, 0.0, res - 1.0)
+    w1 = _tri_weights(x1, res)                       # [N, R]
+    w2 = _tri_weights(x2, res)                       # [N, C]
+    tmp = w1 @ brdf_avg                              # [N, C]
+    return jnp.sum(tmp * w2, axis=-1)
 
 
 def lookup_albedo_avg(albedo_avg, roughness):
-    """Linear LUT lookup (csrt kulla_conty.cpp:133-143)."""
+    """Linear LUT lookup (csrt kulla_conty.cpp:133-143) via one
+    soft-one-hot contraction."""
     res = LUT_RESOLUTION
-    o = roughness * res
-    i = jnp.clip(o.astype(jnp.int32), 0, res - 1)
-    t = jnp.where(i >= res - 1, 0.0, o - i.astype(jnp.float32))
-    return lerp(albedo_avg[i], albedo_avg[jnp.minimum(i + 1, res - 1)], t)
+    x = jnp.clip(roughness * res, 0.0, res - 1.0)
+    return _tri_weights(x, res) @ albedo_avg

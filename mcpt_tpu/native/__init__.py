@@ -7,6 +7,10 @@ Components:
   * sah.c — binned-SAH chunk partition for the march traversal's scene
     commit (`mcpt_tpu.scene.geometry`), exact mirror of the Python
     oracle `_sah_chunks_py`.
+  * alias.c — Walker/Vose alias-table construction for envmap texel
+    sampling (`mcpt_tpu.models.emitter.build_envmap`); the build is a
+    strict O(n) sequential pairing loop over up to tens of millions of
+    texels.  Python oracle: `emitter._alias_build_py`.
 
 The shared objects are cached next to the sources; a stale .so (older
 than its .c) is rebuilt automatically.
@@ -74,6 +78,45 @@ def sah():
         ctypes.c_long,                    # max_chunks
     ]
     return lib
+
+
+@functools.lru_cache(maxsize=1)
+def alias():
+    lib = load("alias")
+    lib.alias_build.restype = ctypes.c_int
+    lib.alias_build.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # weights [n]
+        ctypes.c_int64,                   # n
+        ctypes.POINTER(ctypes.c_float),   # prob out [n]
+        ctypes.POINTER(ctypes.c_int32),   # alias out [n]
+        ctypes.POINTER(ctypes.c_int32),   # scratch [2n]
+        ctypes.POINTER(ctypes.c_double),  # scaled scratch [n]
+    ]
+    return lib
+
+
+def alias_build(weights):
+    """Vose alias table for unnormalized non-negative `weights` [n].
+    Returns (prob f32 [n], alias i32 [n]); raises on an all-zero input."""
+    import numpy as np
+
+    weights = np.ascontiguousarray(weights, np.float64).reshape(-1)
+    n = int(weights.shape[0])
+    prob = np.empty(n, np.float32)
+    al = np.empty(n, np.int32)
+    scratch = np.empty(2 * n, np.int32)
+    scaled = np.empty(n, np.float64)
+    rc = alias().alias_build(
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        al.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise ValueError("alias_build: weights sum to zero")
+    return prob, al
 
 
 def sah_chunks(cent, tmin, tmax, leaf: int, nbins: int = 16):

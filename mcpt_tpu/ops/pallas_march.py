@@ -48,7 +48,8 @@ _INF = float("inf")  # python float: a jnp scalar would be a captured const
 
 def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
                   t_ref, prim_ref, v_ref, w_ref, flags_ref,
-                  ent_ref, tri_vmem, dma_sem, *, lm, ls, any_hit):
+                  ent_ref, tri_vmem, dma_sem, *, lm, ls, any_hit,
+                  interval):
     rays = rays_ref[0]  # [8, R]
     r = rays.shape[1]
 
@@ -68,7 +69,62 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
     rx, ry, rz = rcp(dx), rcp(dy), rcp(dz)
 
     # ---- phase A: block-min entry distance per chunk ------------------
-    n_tiles = lm // CHUNK_TILE
+    if interval:
+        # Conservative interval phase A: the per-ray [R, Lm] slab test is
+        # 80% of a closest-trace call (measured 3.8 of 4.8 ms at 64k rays
+        # x 1452 chunks).  The per-chunk block-min entry is only used for
+        # marching ORDER and the termination bound, so a lower bound over
+        # the whole block suffices: summarize the block's rays as
+        # per-axis origin/direction intervals (blocks are octant+Morton
+        # sorted, so the intervals are tight) and slab-test the summary
+        # against every chunk in [1, Lm] work — ~R times less VPU work.
+        # Mixed-sign axes (the padded tail block) fall back to "no bound"
+        # on that axis, which only loosens the order, never drops a hit.
+        ol = (jnp.min(ox), jnp.min(oy), jnp.min(oz))
+        oh = (jnp.max(ox), jnp.max(oy), jnp.max(oz))
+        dl = (jnp.min(dx), jnp.min(dy), jnp.min(dz))
+        dh = (jnp.max(dx), jnp.max(dy), jnp.max(dz))
+        tmin_lo = jnp.min(t_min)
+        tmax_hi = jnp.max(t_max)
+
+        near_l = jnp.full((1, lm), -_INF)
+        far_u = jnp.full((1, lm), _INF)
+        for a in range(3):
+            blo = cmin_ref[a, :].reshape(1, lm)
+            bhi = cmax_ref[a, :].reshape(1, lm)
+            single = (dl[a] > 0.0) | (dh[a] < 0.0)
+            # single-sign inverse interval: [1/dh, 1/dl] in both cases
+            safe_dh = jnp.where(jnp.abs(dh[a]) < 1e-30, 1e-30, dh[a])
+            safe_dl = jnp.where(jnp.abs(dl[a]) < 1e-30, 1e-30, dl[a])
+            il = 1.0 / safe_dh
+            ih = 1.0 / safe_dl
+            al, ah = blo - oh[a], blo - ol[a]
+            bl, bh = bhi - oh[a], bhi - ol[a]
+
+            def pmin(xl, xh):
+                return jnp.minimum(
+                    jnp.minimum(xl * il, xl * ih),
+                    jnp.minimum(xh * il, xh * ih),
+                )
+
+            def pmax(xl, xh):
+                return jnp.maximum(
+                    jnp.maximum(xl * il, xl * ih),
+                    jnp.maximum(xh * il, xh * ih),
+                )
+
+            nl = jnp.minimum(pmin(al, ah), pmin(bl, bh))
+            fu = jnp.maximum(pmax(al, ah), pmax(bl, bh))
+            near_l = jnp.maximum(near_l, jnp.where(single, nl, -_INF))
+            far_u = jnp.minimum(far_u, jnp.where(single, fu, _INF))
+
+        ent_iv = jnp.maximum(jnp.maximum(near_l, tmin_lo), 0.0)
+        possible = (
+            (ent_iv <= jnp.minimum(far_u, tmax_hi)) & (near_l < 1e30)
+        )
+        ent_ref[0:1, :] = jnp.where(possible, ent_iv, _INF)
+
+    n_tiles = 0 if interval else lm // CHUNK_TILE
 
     def slab_tile(ti, _):
         sl = pl.ds(ti * CHUNK_TILE, CHUNK_TILE)
@@ -98,6 +154,11 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
     jax.lax.fori_loop(0, n_tiles, slab_tile, 0)
 
     # ---- phase B: nearest-chunk-first march ---------------------------
+    # Double-buffered chunk DMA: the copy for chunk k+1 is issued before
+    # chunk k's triangle tests, hiding the HBM latency behind the [R, ls]
+    # Möller-Trumbore sweep.  Exactly one copy is outstanding at every
+    # loop boundary (the pre-loop start and each body's prefetch), so the
+    # post-loop wait drains it unconditionally.
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lm), 1)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (r, ls), 1)
 
@@ -117,26 +178,44 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         cap = jnp.where(valid > 0.0, 0.0, t_best) if any_hit else t_best
         return jnp.max(cap)
 
+    def nearest(ent):
+        """(index, entry distance) of the nearest unprocessed chunk."""
+        m = jnp.min(ent)
+        ci = jnp.min(jnp.where(ent == m, iota_l, jnp.int32(lm - 1)))
+        return ci, m
+
+    def start_copy(ci, slot):
+        pltpu.make_async_copy(
+            tris_ref.at[ci], tri_vmem.at[slot], dma_sem.at[slot]
+        ).start()
+
+    ci0, te0 = nearest(ent0)
+    start_copy(ci0, 0)
+    ent0 = jnp.where(iota_l == ci0, _INF, ent0)
+
     def cond(state):
-        ent, best = state
-        return jnp.min(ent) < bound_of(best)
+        ent, best, it, ci, te = state
+        # te is the entry distance of the chunk whose DMA is in flight —
+        # exactly the min(ent) the non-prefetching loop would test, so
+        # the best-t pruning is unchanged.
+        return te < bound_of(best)
 
     def body(state):
-        ent, best = state
+        ent, best, it, ci, te = state
         t_best, prim_best, v_best, w_best, neg_best, valid = best
+        slot = jax.lax.rem(it, 2)
 
-        m = jnp.min(ent)
-        ci = jnp.min(jnp.where(ent == m, iota_l, jnp.int32(2**30)))
-        ent = jnp.where(iota_l == ci, _INF, ent)
+        # prefetch the next-nearest chunk into the other buffer (its
+        # selection only depends on the masking order, not on t_best,
+        # so the marching order is unchanged)
+        ci_next, te_next = nearest(ent)
+        start_copy(ci_next, 1 - slot)
+        ent = jnp.where(iota_l == ci_next, _INF, ent)
 
-        # one dense scalar-indexed copy replaces the XLA march's
-        # [N, ls, 12] per-lane gather
-        dma = pltpu.make_async_copy(
-            tris_ref.at[ci], tri_vmem, dma_sem
-        )
-        dma.start()
-        dma.wait()
-        tri = tri_vmem[...]  # [16, ls]
+        pltpu.make_async_copy(
+            tris_ref.at[ci], tri_vmem.at[slot], dma_sem.at[slot]
+        ).wait()
+        tri = tri_vmem[slot]  # [16, ls]
 
         def row(i):
             return tri[i, :].reshape(1, ls)
@@ -190,9 +269,17 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
             jnp.where(take, (detk < 0).astype(jnp.float32), neg_best),
             jnp.maximum(valid, take.astype(jnp.float32)),
         )
-        return ent, best
+        return ent, best, it + 1, ci_next, te_next
 
-    _, best = jax.lax.while_loop(cond, body, (ent0, best0))
+    _, best, it, _, _ = jax.lax.while_loop(
+        cond, body, (ent0, best0, jnp.int32(0), ci0, te0)
+    )
+    # exactly one copy is outstanding here (the pre-loop start when the
+    # loop ran zero times, else the last body's prefetch) — drain it
+    last = jax.lax.rem(it, 2)
+    pltpu.make_async_copy(
+        tris_ref.at[jnp.int32(0)], tri_vmem.at[last], dma_sem.at[last]
+    ).wait()
     t_best, prim_best, v_best, w_best, neg_best, valid = best
 
     t_ref[0] = t_best
@@ -202,17 +289,22 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
     flags_ref[0] = neg_best + 2.0 * valid
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "interpret", "interval")
+)
 def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
-                interpret: bool = False):
+                interpret: bool = False, interval: bool = False):
     """rays: [G, 8, R]; cmin/cmax: [4, Lm] (Lm a multiple of CHUNK_TILE,
     padding chunks at 3e37); tris: [Lm, 16, ls].  Returns (t, prim, v,
-    w, flags) each [G, R]."""
+    w, flags) each [G, R].  `interval=True` uses the conservative
+    block-summary phase A (same hits, ~R x less cull work)."""
     g, _, r = rays.shape
     lm = cmin.shape[1]
     ls = tris.shape[2]
 
-    kernel = functools.partial(_march_kernel, lm=lm, ls=ls, any_hit=any_hit)
+    kernel = functools.partial(
+        _march_kernel, lm=lm, ls=ls, any_hit=any_hit, interval=interval
+    )
     out_shape = [
         jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # t
         jax.ShapeDtypeStruct((g, r, 1), jnp.int32),     # prim
@@ -238,8 +330,9 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, lm), jnp.float32),   # ent
-            pltpu.VMEM((tris.shape[1], ls), jnp.float32),  # DMA'd chunk rows
-            pltpu.SemaphoreType.DMA(()),
+            # double-buffered chunk rows + one DMA semaphore per slot
+            pltpu.VMEM((2, tris.shape[1], ls), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(rays, cmin, cmax, tris)

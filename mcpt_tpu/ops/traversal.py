@@ -766,8 +766,17 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         [tris, jnp.zeros((lm_pad, 4, ls_pad), tris.dtype)], axis=1
     )  # [Lm, 16, ls_pad]
 
+    import os
+
+    # MCPT_MARCH_IVAL=1: conservative block-summary phase A — exact same
+    # hits, ~R x less cull work, but the looser bound makes low-coherence
+    # blocks march many more chunks (measured 8-15x SLOWER on randomized
+    # rays, scripts/pallas_march_bench.py) — opt-in only.
+    import os
+
     t, prim, v, w, flags = march_sweep(
-        rays, cmin, cmax, tris, any_hit=any_hit, interpret=interpret
+        rays, cmin, cmax, tris, any_hit=any_hit, interpret=interpret,
+        interval=os.environ.get("MCPT_MARCH_IVAL", "0") == "1",
     )
     inverse = jnp.argsort(order)
     t, prim, v, w, flags = (

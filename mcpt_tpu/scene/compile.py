@@ -105,6 +105,15 @@ class SceneData:
     quad_kinds: tuple = flax.struct.field(pytree_node=False, default=())
     # ((cdf_cell, quad_row, kind), ...) for emissive quadrics
     em_quad_cells: tuple = flax.struct.field(pytree_node=False, default=())
+    # texture kinds reachable from BSDF tables (surface shading).  The
+    # full tex.kinds also counts emitter-only bitmaps (envmap radiance,
+    # synthesized sun/sky, spot projections) — compiling the 12-gather
+    # bitmap branch into every BSDF parameter read costs ~10 ms/eval at
+    # 64k lanes on scenes whose only bitmap is the envmap (matpreview).
+    # Surface shading paths restrict to this set via path._stex.
+    surface_kinds: tuple = flax.struct.field(
+        pytree_node=False, default=(1, 2, 3)
+    )
 
 
 def _quadric_row(info):
@@ -361,6 +370,23 @@ def compile_scene(config: RendererConfig) -> SceneData:
     bsdf = build_bsdf_tables(config.bsdfs)
     present = tuple(sorted({int(b.btype) for b in config.bsdfs}))
 
+    # texture kinds reachable from surface shading (every *_tid column
+    # of the BSDF tables); emitter-only bitmaps don't force the bitmap
+    # branch into BSDF parameter reads
+    tex_infos = config.textures.infos
+    surf_tids = set()
+    for b in config.bsdfs:
+        surf_tids.update(
+            t for t in (
+                b.id_opacity, b.id_bump_map, b.id_radiance,
+                b.id_diffuse_reflectance, b.id_roughness,
+                b.id_roughness_u, b.id_roughness_v,
+                b.id_specular_reflectance, b.id_specular_transmittance,
+                b.id_coat_roughness,
+            ) if 0 <= t < len(tex_infos)
+        )
+    surface_kinds = tuple(sorted({tex_infos[t]["type"] for t in surf_tids}))
+
     # --- Kulla-Conty LUT (jitted one-time precompute)
     needs_kc = any(
         b.btype in (BsdfType.CONDUCTOR, BsdfType.DIELECTRIC) for b in config.bsdfs
@@ -397,6 +423,7 @@ def compile_scene(config: RendererConfig) -> SceneData:
         has_opacity=any(b.id_opacity >= 0 for b in config.bsdfs),
         quad_kinds=tuple(quad_kinds),
         em_quad_cells=tuple(em_quad_cells),
+        surface_kinds=surface_kinds,
     )
 
 

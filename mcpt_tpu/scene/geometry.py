@@ -244,7 +244,9 @@ def commit_geometry(
     s_min = np.minimum(np.minimum(sv0, sv1), sv2)
     s_max = np.maximum(np.maximum(sv0, sv1), sv2)
     s_cent = 0.5 * (s_min + s_max)
-    march_leaf = 64
+    import os
+
+    march_leaf = int(os.environ.get("MCPT_MARCH_LEAF", 64))
     chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)
     while len(chunks) > 2048:
         march_leaf *= 2

@@ -189,8 +189,10 @@ class TestEnvMap:
         n = 200000
         xi0 = jnp.asarray(r.random(n, dtype=np.float32))
         xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi2 = jnp.asarray(r.random(n, dtype=np.float32))
         origin = jnp.zeros((n, 3), jnp.float32)
-        wi, dist, rad, pdf, valid = E.sample_envmap(env, tex, origin, xi0, xi1)
+        wi, dist, rad, pdf, valid = E.sample_envmap(
+            env, tex, origin, xi0, xi1, xi2)
         look = -np.asarray(wi)  # direction toward the env
         g = look[:, 2] ** 2  # smooth test function
         est = (g / np.maximum(np.asarray(pdf), 1e-12)).mean()
@@ -203,8 +205,10 @@ class TestEnvMap:
         n = 5000
         xi0 = jnp.asarray(r.random(n, dtype=np.float32))
         xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi2 = jnp.asarray(r.random(n, dtype=np.float32))
         origin = jnp.zeros((n, 3), jnp.float32)
-        wi, dist, rad, pdf, valid = E.sample_envmap(env, tex, origin, xi0, xi1)
+        wi, dist, rad, pdf, valid = E.sample_envmap(
+            env, tex, origin, xi0, xi1, xi2)
         rad_eval = E.eval_envmap(env, tex, -wi)
         # bilinear filtering vs texel-center sampling: compare loosely
         err = np.abs(np.asarray(rad) - np.asarray(rad_eval)) / (
@@ -219,8 +223,9 @@ class TestEnvMap:
         n = 100000
         xi0 = jnp.asarray(r.random(n, dtype=np.float32))
         xi1 = jnp.asarray(r.random(n, dtype=np.float32))
+        xi2 = jnp.asarray(r.random(n, dtype=np.float32))
         origin = jnp.zeros((n, 3), jnp.float32)
-        wi, _, _, pdf, _ = E.sample_envmap(env, tex, origin, xi0, xi1)
+        wi, _, _, pdf, _ = E.sample_envmap(env, tex, origin, xi0, xi1, xi2)
         look = -np.asarray(wi)
         theta = np.arccos(np.clip(look[:, 1], -1, 1))
         phi = np.arctan2(look[:, 2], look[:, 0])
@@ -280,3 +285,48 @@ class TestSpotLight:
         )
         assert outside_cone.any() and inside_beam.any()
         assert img[outside_cone].max() < 1e-6
+
+
+class TestAliasTable:
+    """Vose alias construction: native C vs the Python oracle, and the
+    exact per-texel draw-probability identity."""
+
+    def test_native_matches_oracle(self):
+        r = np.random.default_rng(7)
+        w = (r.random(1000) * 10).astype(np.float64)
+        w[r.random(1000) < 0.2] = 0.0  # zero-weight texels
+        w[3] = 500.0  # dominant texel
+        from mcpt_tpu import native
+
+        prob_c, alias_c = native.alias_build(w)
+        prob_py, alias_py = E._alias_build_py(w)
+        np.testing.assert_array_equal(alias_c, alias_py)
+        np.testing.assert_allclose(prob_c, prob_py, rtol=1e-6)
+
+    @pytest.mark.parametrize("builder", ["native", "oracle"])
+    def test_draw_probability_identity(self, builder):
+        """P(draw j) = prob[j]/n + sum_k alias[k]==j (1-prob[k])/n must
+        equal w_j / sum(w) exactly (up to f32 rounding)."""
+        r = np.random.default_rng(11)
+        w = (r.random(513) ** 3 * 100).astype(np.float64)
+        w[0] = 0.0
+        if builder == "native":
+            from mcpt_tpu import native
+
+            prob, alias = native.alias_build(w)
+        else:
+            prob, alias = E._alias_build_py(w)
+        n = w.shape[0]
+        p = prob.astype(np.float64).copy()
+        spill = np.zeros(n)
+        np.add.at(spill, alias, 1.0 - p)
+        drawn = (p + spill) / n
+        np.testing.assert_allclose(drawn, w / w.sum(), atol=1e-7)
+
+    def test_all_zero_raises(self):
+        from mcpt_tpu import native
+
+        with pytest.raises(ValueError):
+            native.alias_build(np.zeros(8))
+        with pytest.raises(ValueError):
+            E._alias_build_py(np.zeros(8))

@@ -31,11 +31,16 @@ class TextureTables:
     color0: jnp.ndarray         # [T, 3] constant color / checker color0
     color1: jnp.ndarray         # [T, 3] checker color1
     uv_transform: jnp.ndarray   # [T, 6] affine (u' = a*u + b*v + c, v' = d*u + e*v + f)
-    bmp_offset: jnp.ndarray     # [T] int32 float-offset into atlas
+    bmp_offset: jnp.ndarray     # [T] int32 texel-row offset into atlas
     bmp_width: jnp.ndarray      # [T] int32
     bmp_height: jnp.ndarray     # [T] int32
-    bmp_channels: jnp.ndarray   # [T] int32 (1, 3, or 4)
-    atlas: jnp.ndarray          # [F] float32 packed pixel data
+    bmp_channels: jnp.ndarray   # [T] int32 source channel count (1, 3, 4)
+    #: [P, 4] float32 — one RGBA row per texel (mono replicated to RGB,
+    #: alpha = 1 unless the source had one).  A texel fetch is ONE row
+    #: gather; the previous flat layout needed 3 channel gathers per
+    #: texel (12 per bilinear) and per-lane gathers cost ~0.85 ms at 64k
+    #: lanes on a v5e regardless of table size (scripts/gather_probe.py).
+    atlas: jnp.ndarray
     #: static set of texture kinds present in the scene — evaluation
     #: compiles ONLY the branches a scene uses (the bitmap branch is 12
     #: serialized per-lane atlas gathers; an all-constant scene like
@@ -71,12 +76,18 @@ class TextureBuilder:
         return len(self.infos) - 1
 
     def add_bitmap(self, pixels: np.ndarray, uv_transform=None) -> int:
-        """`pixels`: [H, W] or [H, W, C] float32 linear-light."""
+        """`pixels`: [H, W] or [H, W, C] float32 linear-light.  Packed
+        as one RGBA row per texel (mono -> replicated RGB, alpha 1)."""
         pixels = np.asarray(pixels, np.float32)
         if pixels.ndim == 2:
             pixels = pixels[..., None]
         h, w, c = pixels.shape
-        flat = pixels.reshape(-1)
+        rows = np.ones((h * w, 4), np.float32)
+        flat = pixels.reshape(h * w, c)
+        if c == 1:
+            rows[:, 0:3] = flat
+        else:
+            rows[:, 0:c] = flat
         self.infos.append(
             dict(
                 type=TEX_BITMAP,
@@ -88,18 +99,19 @@ class TextureBuilder:
                 part=len(self.atlas_parts),
             )
         )
-        self.atlas_parts.append(flat)
-        self.atlas_size += flat.size
+        self.atlas_parts.append(rows)
+        self.atlas_size += h * w
         return len(self.infos) - 1
 
     def bitmap_pixels(self, tid: int) -> np.ndarray:
         """Host-side [H, W, C] pixels of a registered bitmap (for envmap
-        CDF builds, csrt CreateEnvMapCdfPdf's host read)."""
+        alias builds, cf. csrt CreateEnvMapCdfPdf's host read)."""
         info = self.infos[tid]
         assert info["type"] == TEX_BITMAP, f"texture {tid} is not a bitmap"
-        return self.atlas_parts[info["part"]].reshape(
-            info["height"], info["width"], info["channels"]
-        )
+        c = info["channels"]
+        rows = self.atlas_parts[info["part"]]
+        full = rows.reshape(info["height"], info["width"], 4)
+        return full[..., :1] if c == 1 else full[..., :c]
 
     def build(self) -> TextureTables:
         t = max(len(self.infos), 1)
@@ -129,7 +141,7 @@ class TextureBuilder:
         atlas = (
             np.concatenate(self.atlas_parts)
             if self.atlas_parts
-            else np.zeros(1, np.float32)
+            else np.zeros((1, 4), np.float32)
         )
         return TextureTables(
             ttype=jnp.asarray(ttype),
@@ -151,12 +163,12 @@ def _apply_uv(tf, uv):
     return u, v
 
 
-def _bitmap_bilinear(tex: TextureTables, tid, u, v):
-    """Wrap-around bilinear fetch from the packed atlas
-    (csrt src/renderer/textures/bitmap.cpp:6-56)."""
+def _bitmap_bilinear4(tex: TextureTables, tid, u, v):
+    """Wrap-around bilinear RGBA fetch from the packed atlas
+    (csrt src/renderer/textures/bitmap.cpp:6-56): four [N, 4] row
+    gathers — one per corner texel."""
     w = take_rows(tex.bmp_width, tid)
     h = take_rows(tex.bmp_height, tid)
-    c = take_rows(tex.bmp_channels, tid)
     off = take_rows(tex.bmp_offset, tid)
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
@@ -173,14 +185,10 @@ def _bitmap_bilinear(tex: TextureTables, tid, u, v):
     y1 = jnp.where(y0 + 1 >= h, 0, y0 + 1)
 
     def texel(xi, yi):
-        base = off + (xi + w * yi) * c
-        # channel >= 3: RGB at base..base+2; channel 1: replicate
-        mono = tex.atlas[base]
-        r = tex.atlas[jnp.where(c >= 3, base, base)]
-        g = tex.atlas[jnp.where(c >= 3, base + 1, base)]
-        b = tex.atlas[jnp.where(c >= 3, base + 2, base)]
-        rgb = jnp.stack([r, g, b], axis=-1)
-        return jnp.where((c == 1)[..., None], mono[..., None], rgb)
+        # take_rows: tiny atlases (<=512 texels, e.g. fallback 1x1
+        # bitmaps) become a one-hot contraction — a plain row gather
+        # there measured 2x slower end-to-end on mercury
+        return take_rows(tex.atlas, off + xi + w * yi)  # [N, 4]
 
     c00 = texel(x0, y0)
     c01 = texel(x0, y1)
@@ -191,31 +199,14 @@ def _bitmap_bilinear(tex: TextureTables, tid, u, v):
     return lerp(lerp(c00, c01, ty), lerp(c10, c11, ty), tx)
 
 
+def _bitmap_bilinear(tex: TextureTables, tid, u, v):
+    return _bitmap_bilinear4(tex, tid, u, v)[..., :3]
+
+
 def _bitmap_alpha(tex: TextureTables, tid, u, v):
-    """Bilinear alpha-channel fetch (4th channel) for opacity masks
-    (csrt bitmap.cpp:73-101).  Returns 1.0 for non-RGBA bitmaps."""
-    w = take_rows(tex.bmp_width, tid)
-    h = take_rows(tex.bmp_height, tid)
-    c = take_rows(tex.bmp_channels, tid)
-    off = take_rows(tex.bmp_offset, tid)
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-    x = u * wf
-    y = v * hf
-    x = x - jnp.floor(x / wf) * wf
-    y = y - jnp.floor(y / hf) * hf
-    x0 = jnp.clip(x.astype(jnp.int32), 0, w - 1)
-    y0 = jnp.clip(y.astype(jnp.int32), 0, h - 1)
-    tx = x - x0.astype(jnp.float32)
-    ty = y - y0.astype(jnp.float32)
-    x1 = jnp.where(x0 + 1 >= w, 0, x0 + 1)
-    y1 = jnp.where(y0 + 1 >= h, 0, y0 + 1)
-
-    def a(xi, yi):
-        return tex.atlas[off + (xi + w * yi) * c + 3]
-
-    alpha = lerp(lerp(a(x0, y0), a(x0, y1), ty), lerp(a(x1, y0), a(x1, y1), ty), tx)
-    return jnp.where(c == 4, alpha, 1.0)
+    """Bilinear alpha for opacity masks (csrt bitmap.cpp:73-101); the
+    packed atlas stores alpha 1 for non-RGBA sources."""
+    return _bitmap_bilinear4(tex, tid, u, v)[..., 3]
 
 
 def eval_color(tex: TextureTables, tid, uv):

@@ -366,11 +366,23 @@ def _morton10(x):
     return x
 
 
-def _ray_sort_keys(geom, o, d):
-    """Coherence keys: direction octant (high bits) then 21-bit Morton of
-    the origin inside the scene bounds — packets of sorted rays share
-    BVH subtrees (the reference Morton-orders its CPU patches for the
-    same reason, renderer.cpp:24-60)."""
+def _ray_sort_keys(geom, o, d, mode: str | None = None):
+    """Coherence keys so ray blocks share chunks/subtrees (the reference
+    Morton-orders its CPU patches for the same reason,
+    renderer.cpp:24-60).  Modes (MCPT_MARCH_SORT):
+
+    * ``octori`` — direction octant (high bits) then 21-bit Morton of
+      the origin inside the scene bounds.
+    * ``dirori`` — interleaved direction Morton (12 bits, high) then
+      origin Morton (15 bits): the wavefront inside the render loop
+      mixes camera/bounce/shadow rays whose ORIGINS cluster but whose
+      directions span the sphere; direction-major keys keep a block's
+      chunk-corridor union small.
+    """
+    import os
+
+    if mode is None:
+        mode = os.environ.get("MCPT_MARCH_SORT", "octori")
     lo = geom.node_min[0]
     hi = geom.node_max[0]
     span = jnp.maximum(hi - lo, 1e-12)
@@ -381,6 +393,15 @@ def _ray_sort_keys(geom, o, d):
         | (_morton10(qi[..., 1]) << 1)
         | _morton10(qi[..., 2])
     )
+    if mode == "dirori":
+        dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
+        di = (dq * 15.0).astype(jnp.uint32)  # 4 bits/axis
+        dmorton = (
+            (_morton10(di[..., 0]) << 2)
+            | (_morton10(di[..., 1]) << 1)
+            | _morton10(di[..., 2])
+        )  # 12 significant bits
+        return ((dmorton << 15) | (morton >> 15)).astype(jnp.int32)
     octant = (
         (d[..., 0] >= 0).astype(jnp.uint32) * 4
         + (d[..., 1] >= 0).astype(jnp.uint32) * 2

@@ -43,6 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 512
 CHUNK_TILE = 256  # chunks slab-tested per phase-A tile
+
+
+def _chunk_group(ls: int) -> int:
+    """Chunks marched per loop iteration (as one [R, cg*ls] sweep).
+    Swept on matpreview-conductor end-to-end (lane target 64/256/512/
+    1024/2048): 0.81 / 1.16 / 1.43 / 1.57 / scoped-VMEM-OOM Mrays/s —
+    wide groups amortize the per-chunk loop+DMA bookkeeping and fill the
+    VPU lanes; the nearest-first pruning loss is smaller than the
+    overhead win on divergent wavefronts.  MCPT_MARCH_GROUP overrides
+    the lane target."""
+    import os
+
+    target = int(os.environ.get("MCPT_MARCH_GROUP", 1024))
+    return max(1, target // ls)
 _INF = float("inf")  # python float: a jnp scalar would be a captured const
 
 
@@ -154,13 +168,16 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
     jax.lax.fori_loop(0, n_tiles, slab_tile, 0)
 
     # ---- phase B: nearest-chunk-first march ---------------------------
-    # Double-buffered chunk DMA: the copy for chunk k+1 is issued before
-    # chunk k's triangle tests, hiding the HBM latency behind the [R, ls]
-    # Möller-Trumbore sweep.  Exactly one copy is outstanding at every
-    # loop boundary (the pre-loop start and each body's prefetch), so the
-    # post-loop wait drains it unconditionally.
+    # Chunks are processed in GROUPS of `cg` nearest (cg*ls lanes per
+    # Möller-Trumbore sweep): at ls=64 a single-chunk sweep fills half a
+    # VPU lane tile and ~75% of the 5.3 us per-chunk time is loop/DMA
+    # bookkeeping; grouping amortizes both.  Groups are double-buffered:
+    # the cg copies for group k+1 are issued before group k's triangle
+    # tests, so exactly one group of copies is outstanding at every loop
+    # boundary and the post-loop wait drains it unconditionally.
+    cg = _chunk_group(ls)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lm), 1)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (r, ls), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (r, cg * ls), 1)
 
     ent0 = ent_ref[0:1, :]  # [1, Lm] value
     best0 = (
@@ -178,47 +195,54 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         cap = jnp.where(valid > 0.0, 0.0, t_best) if any_hit else t_best
         return jnp.max(cap)
 
-    def nearest(ent):
-        """(index, entry distance) of the nearest unprocessed chunk."""
-        m = jnp.min(ent)
-        ci = jnp.min(jnp.where(ent == m, iota_l, jnp.int32(lm - 1)))
-        return ci, m
+    def take_group(ent, slot):
+        """Pop the cg nearest unprocessed chunks, start their copies
+        into buffer `slot`, return (masked ent, entry of the nearest).
+        When fewer than cg remain the surplus picks degenerate index 0 —
+        re-testing a chunk is idempotent (min/one-hot winner update)."""
+        te0 = None
+        for j in range(cg):
+            m = jnp.min(ent)
+            ci = jnp.min(jnp.where(ent == m, iota_l, jnp.int32(lm - 1)))
+            if j == 0:
+                te0 = m
+            ent = jnp.where(iota_l == ci, _INF, ent)
+            pltpu.make_async_copy(
+                tris_ref.at[ci], tri_vmem.at[slot, j], dma_sem.at[slot, j]
+            ).start()
+        return ent, te0
 
-    def start_copy(ci, slot):
-        pltpu.make_async_copy(
-            tris_ref.at[ci], tri_vmem.at[slot], dma_sem.at[slot]
-        ).start()
-
-    ci0, te0 = nearest(ent0)
-    start_copy(ci0, 0)
-    ent0 = jnp.where(iota_l == ci0, _INF, ent0)
+    ent0, te0 = take_group(ent0, 0)
 
     def cond(state):
-        ent, best, it, ci, te = state
-        # te is the entry distance of the chunk whose DMA is in flight —
-        # exactly the min(ent) the non-prefetching loop would test, so
-        # the best-t pruning is unchanged.
+        ent, best, it, te = state
+        # te is the entry distance of the nearest chunk in the in-flight
+        # group — exactly the min(ent) the ungrouped loop would test, so
+        # best-t pruning keeps the same bound (at group granularity).
         return te < bound_of(best)
 
     def body(state):
-        ent, best, it, ci, te = state
+        ent, best, it, te = state
         t_best, prim_best, v_best, w_best, neg_best, valid = best
         slot = jax.lax.rem(it, 2)
 
-        # prefetch the next-nearest chunk into the other buffer (its
-        # selection only depends on the masking order, not on t_best,
-        # so the marching order is unchanged)
-        ci_next, te_next = nearest(ent)
-        start_copy(ci_next, 1 - slot)
-        ent = jnp.where(iota_l == ci_next, _INF, ent)
+        # prefetch the next group into the other buffer (selection only
+        # depends on masking order, not t_best: marching order unchanged)
+        ent, te_next = take_group(ent, 1 - slot)
 
-        pltpu.make_async_copy(
-            tris_ref.at[ci], tri_vmem.at[slot], dma_sem.at[slot]
-        ).wait()
-        tri = tri_vmem[slot]  # [16, ls]
+        for j in range(cg):
+            pltpu.make_async_copy(
+                tris_ref.at[jnp.int32(0)], tri_vmem.at[slot, j],
+                dma_sem.at[slot, j],
+            ).wait()
+        tri = tri_vmem[slot]  # [cg, 16, ls]
 
         def row(i):
-            return tri[i, :].reshape(1, ls)
+            if cg == 1:
+                return tri[0, i, :].reshape(1, ls)
+            return jnp.concatenate(
+                [tri[j, i, :].reshape(1, ls) for j in range(cg)], axis=1
+            )
 
         p0x, p0y, p0z = row(0), row(1), row(2)
         e1x, e1y, e1z = row(3), row(4), row(5)
@@ -269,17 +293,19 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
             jnp.where(take, (detk < 0).astype(jnp.float32), neg_best),
             jnp.maximum(valid, take.astype(jnp.float32)),
         )
-        return ent, best, it + 1, ci_next, te_next
+        return ent, best, it + 1, te_next
 
-    _, best, it, _, _ = jax.lax.while_loop(
-        cond, body, (ent0, best0, jnp.int32(0), ci0, te0)
+    _, best, it, _ = jax.lax.while_loop(
+        cond, body, (ent0, best0, jnp.int32(0), te0)
     )
-    # exactly one copy is outstanding here (the pre-loop start when the
-    # loop ran zero times, else the last body's prefetch) — drain it
+    # exactly one GROUP of copies is outstanding here (the pre-loop start
+    # when the loop ran zero times, else the last body's prefetch)
     last = jax.lax.rem(it, 2)
-    pltpu.make_async_copy(
-        tris_ref.at[jnp.int32(0)], tri_vmem.at[last], dma_sem.at[last]
-    ).wait()
+    for j in range(cg):
+        pltpu.make_async_copy(
+            tris_ref.at[jnp.int32(0)], tri_vmem.at[last, j],
+            dma_sem.at[last, j],
+        ).wait()
     t_best, prim_best, v_best, w_best, neg_best, valid = best
 
     t_ref[0] = t_best
@@ -330,9 +356,10 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, lm), jnp.float32),   # ent
-            # double-buffered chunk rows + one DMA semaphore per slot
-            pltpu.VMEM((2, tris.shape[1], ls), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # double-buffered chunk GROUPS + one DMA semaphore per copy
+            pltpu.VMEM((2, _chunk_group(ls), tris.shape[1], ls),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _chunk_group(ls))),
         ],
         interpret=interpret,
     )(rays, cmin, cmax, tris)

@@ -402,6 +402,14 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None):
             | _morton10(di[..., 2])
         )  # 12 significant bits
         return ((dmorton << 15) | (morton >> 15)).astype(jnp.int32)
+    if mode == "octdir":
+        # 2 bits per axis of direction (sign + coarse magnitude), then
+        # origin Morton — halves a block's direction cone vs `octori`
+        # while keeping most origin locality
+        dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
+        di = (dq * 3.999).astype(jnp.uint32)  # 2 bits/axis
+        dir6 = (di[..., 0] << 4) | (di[..., 1] << 2) | di[..., 2]
+        return ((dir6 << 23) | (morton >> 7)).astype(jnp.int32)
     octant = (
         (d[..., 0] >= 0).astype(jnp.uint32) * 4
         + (d[..., 1] >= 0).astype(jnp.uint32) * 2

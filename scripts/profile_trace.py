@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=1 << 16)
     ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--scene", default="cornell-box/scene_v0.6.xml")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--depth", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -31,11 +34,14 @@ def main():
     from mcpt_tpu.render.renderer import Renderer
     from mcpt_tpu.scene.parser import load_config
 
+    global OUT
+    if args.out:
+        OUT = args.out
     cfg = load_config(
-        "/root/reference/resources/scene/cornell-box/scene_v0.6.xml"
+        "/root/reference/resources/scene/" + args.scene
     )
     cfg.camera.width = cfg.camera.height = 512
-    cfg.integrator.depth_max = 8
+    cfg.integrator.depth_max = args.depth
     r = Renderer(cfg)
     # warm compile OUTSIDE the trace
     img = r.render(spp=args.spp, tile=args.tile, spp_chunk=args.spp)
@@ -74,7 +80,7 @@ def main():
     lines = [
         "# jax.profiler trace summary",
         "",
-        f"cornell 512x512, tile={args.tile}, spp={args.spp}, depth 8 — "
+        f"{args.scene} 512x512, tile={args.tile}, spp={args.spp}, depth {args.depth} — "
         f"one warm render, {wall:.3f}s wall (TPU v5e via axon).",
         f"Raw trace: `{os.path.relpath(traces[-1], OUT)}`",
         "",

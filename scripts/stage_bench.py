@@ -38,6 +38,7 @@ def main():
     xml = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 16
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    bounce = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     cfg = load_config(xml)
     res = 512
     cfg.camera.width = cfg.camera.height = res
@@ -46,6 +47,26 @@ def main():
     idx = jnp.arange(n, dtype=jnp.int32) % (res * res)
     o, d = generate_rays(camera, idx, 0.5, 0.5)
     seed = rng.pixel_seed(idx, 0)
+
+    # bounce > 0: advance the wavefront to that bounce so the traversal
+    # sees the REAL mixed-direction ray population (the render loop is
+    # ~7x slower per bounce than camera-ray stage numbers suggest)
+    from mcpt_tpu.models import bsdf as _b
+
+    for _ in range(bounce):
+        gh = scene_closest(scene, o, d)
+        ht = P.interpolate_hit(scene, gh, o, d)
+        seed, xib = rng.random_floats(seed, _b.N_SAMPLE_DRAWS)
+        wi, _, _, okb = _b.bsdf_sample(
+            scene.bsdf, P._stex(scene), scene.present_types, ht.bsdf_id,
+            -d, ht.normal, ht.tangent, ht.bitangent, ht.inside, ht.uv,
+            xib, kc=(scene.brdf_avg, scene.albedo_avg))
+        # dead/escaped lanes restart as fresh camera rays (regen-like mix)
+        alive = ht.valid & okb
+        o = jnp.where(alive[:, None], ht.position, o)
+        d = jnp.where(alive[:, None], -wi, d)
+    if bounce:
+        print(f"(rays advanced to bounce {bounce})", flush=True)
     ghit = scene_closest(scene, o, d)
     hit = P.interpolate_hit(scene, ghit, o, d)
     _, xi = rng.random_floats(seed, max(P.nee_draw_count(scene), 8))

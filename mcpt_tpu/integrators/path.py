@@ -120,7 +120,8 @@ def interpolate_hit(scene: SceneData, ghit, o, d) -> HitAttrs:
         bump_tid = take_rows(scene.bsdf.bump_tid, jnp.maximum(bsdf_id, 0))
         has_bump = (bump_tid >= 0) & (bsdf_id >= 0)
         grad = textures.eval_gradient(
-            _stex(scene), jnp.maximum(bump_tid, 0), uv
+            bsdfs._ktex(scene.tex, scene.bsdf, "bump"),
+            jnp.maximum(bump_tid, 0), uv
         )
         n_b = normalize(
             -grad[..., 0:1] * tangent - grad[..., 1:2] * bitangent + normal
@@ -163,7 +164,9 @@ def apply_opacity(scene: SceneData, hit: HitAttrs, seed):
     seed, u = rng.random_float(seed)
     tid = take_rows(scene.bsdf.opacity_tid, jnp.maximum(hit.bsdf_id, 0))
     has = (tid >= 0) & (hit.bsdf_id >= 0) & hit.valid
-    alpha = textures.eval_opacity(_stex(scene), jnp.maximum(tid, 0), hit.uv)
+    alpha = textures.eval_opacity(
+        bsdfs._ktex(scene.tex, scene.bsdf, "opacity"),
+        jnp.maximum(tid, 0), hit.uv)
     transparent = has & (u >= alpha)
     return hit._replace(
         bsdf_id=jnp.where(transparent, -1, hit.bsdf_id)
@@ -203,7 +206,9 @@ def _sample_area_light(scene: SceneData, xi_sel, xi_a, xi_b):
         pos = jnp.where(mf, qpos, pos)
         nrm = jnp.where(mf, qnrm, nrm)
         uv = jnp.where(mf, quv, uv)
-    radiance = textures.eval_color(_stex(scene), jnp.maximum(radiance_tid, 0), uv)
+    radiance = textures.eval_color(
+        bsdfs._ktex(scene.tex, scene.bsdf, "radiance"),
+        jnp.maximum(radiance_tid, 0), uv)
     return pos, nrm, radiance, pdf_area_c
 
 

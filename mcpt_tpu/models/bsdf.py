@@ -102,9 +102,32 @@ class BsdfTables:
     use_beckmann: jnp.ndarray     # [B] bool (Beckmann NDF instead of GGX)
     clear_coat: jnp.ndarray       # [B] f32 clear-coat weight (0 = none)
     coat_roughness_tid: jnp.ndarray  # [B] int32 coat alpha texture
+    #: static per-parameter texture kinds: (("diffuse", (1, 3)), ...) —
+    #: a texture read for one parameter column only compiles the kinds
+    #: THAT column can reach.  A scene with bitmap albedos but constant
+    #: roughness (classroom) otherwise pays the 4-lookup bilinear branch
+    #: on every roughness/specular/transmittance read: measured 32/21 ms
+    #: per bsdf sample/eval at 64k lanes.
+    col_kinds: tuple = flax.struct.field(pytree_node=False, default=())
 
 
-def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
+def _ktex(tex, tables: "BsdfTables", col: str):
+    """Texture view narrowed to parameter column `col`'s static kinds
+    (falls back to the caller's kinds when the table has none)."""
+    for name, kinds in tables.col_kinds:
+        if name == col:
+            return tex.replace(kinds=kinds)
+    return tex
+
+
+_KIND_COLS = (
+    "opacity", "bump", "radiance", "diffuse", "roughness",
+    "roughness_u", "roughness_v", "specular", "transmit",
+    "coat_roughness",
+)
+
+
+def build_bsdf_tables(infos: list[BsdfInfo], tex_infos=None) -> BsdfTables:
     """Host-side commit (csrt renderer.cpp:433-501 CommitBsdfs +
     Bsdf ctor bsdf.cpp:115-188)."""
     from mcpt_tpu.ops.microfacet import (
@@ -181,7 +204,38 @@ def build_bsdf_tables(infos: list[BsdfInfo]) -> BsdfTables:
         coat_roughness_tid=jnp.asarray(
             arr(lambda i: i.id_coat_roughness, np.int32)
         ),
+        col_kinds=_column_kinds(infos, tex_infos),
     )
+
+
+_COL_ATTR = {
+    "opacity": "id_opacity",
+    "bump": "id_bump_map",
+    "radiance": "id_radiance",
+    "diffuse": "id_diffuse_reflectance",
+    "roughness": "id_roughness",
+    "roughness_u": "id_roughness_u",
+    "roughness_v": "id_roughness_v",
+    "specular": "id_specular_reflectance",
+    "transmit": "id_specular_transmittance",
+    "coat_roughness": "id_coat_roughness",
+}
+
+
+def _column_kinds(infos, tex_infos) -> tuple:
+    """Static texture kinds reachable per BSDF parameter column."""
+    if tex_infos is None:
+        return ()
+    out = []
+    for col in _KIND_COLS:
+        attr = _COL_ATTR[col]
+        kinds = {
+            tex_infos[t]["type"]
+            for t in (getattr(i, attr) for i in infos)
+            if 0 <= t < len(tex_infos)
+        }
+        out.append((col, tuple(sorted(kinds))))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +422,8 @@ def _oren_nayar(albedo, sigma, wi_local, wo_local, fast):
 
 
 def _eval_rough_diffuse_atten(tables, tex, bid, uv, n, t, b, wi, wo):
-    albedo = textures.eval_color(tex, take_rows(tables.diffuse_tid, bid), uv)
-    sigma = _scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv)
+    albedo = textures.eval_color(_ktex(tex, tables, "diffuse"), take_rows(tables.diffuse_tid, bid), uv)
+    sigma = _scalar_tex(_ktex(tex, tables, "roughness"), take_rows(tables.roughness_tid, bid), uv)
     if _on_barrier():
         # fusion break: the axon remote compiler SIGILLs / hangs on the
         # fused bitmap-gather + Oren-Nayar transcendental program
@@ -393,8 +447,8 @@ def _on_barrier() -> bool:
 def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     """GGX reflection w/ Schlick Fresnel + Kulla-Conty compensation
     (csrt conductor.cpp:36-79)."""
-    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    au = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
     beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
@@ -414,7 +468,7 @@ def _sample_conductor(tables, tex, kc, bid, uv, wo, n, t, b, xi):
     iso = jnp.abs(au - av) < 1e-6
     comp = _kc_conductor(kc, take_rows(tables.f_avg_rgb, bid), n_dot_i, n_dot_o, au)
     atten = atten + jnp.where(iso[..., None], comp, 0.0)
-    atten = atten * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    atten = atten * _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
 
     valid = (pdf >= EPSILON) & (n_dot_i >= EPSILON_FLOAT)
     return wi, pdf, atten, valid
@@ -425,8 +479,8 @@ def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     n_dot_o = dot(wo, n)
     h = normalize(-wi + wo)
     h_local = to_local(h, t, b, n)
-    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    au = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
     beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_o = dot(wo, h)
@@ -443,7 +497,7 @@ def _eval_conductor(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     n_dot_i = dot(-wi, n)
     comp = _kc_conductor(kc, take_rows(tables.f_avg_rgb, bid), n_dot_i, n_dot_o, au)
     atten = atten + jnp.where(iso[..., None], comp, 0.0)
-    atten = atten * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    atten = atten * _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
 
     valid = (n_dot_o >= EPSILON_FLOAT) & (pdf >= EPSILON)
     return pdf, atten, valid
@@ -453,10 +507,10 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     """Rough dielectric reflect/refract (csrt dielectric.cpp:44-146)."""
     scale = 1.2 - 0.2 * jnp.sqrt(jnp.abs(dot(-wo, n)))
     au = jnp.maximum(
-        _scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv) * scale, _MIN_ALPHA
+        _scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv) * scale, _MIN_ALPHA
     )
     av = jnp.maximum(
-        _scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv) * scale, _MIN_ALPHA
+        _scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv) * scale, _MIN_ALPHA
     )
     beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
@@ -502,7 +556,7 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
         jnp.ones_like(inside),
     )
     atten_r = atten_r + jnp.where(iso[..., None], comp_r[..., None], 0.0)
-    atten_r = atten_r * _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    atten_r = atten_r * _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
     valid_r = (n_dot_i_r >= EPSILON_FLOAT) & (pdf_r >= EPSILON)
 
     # --- refraction branch (wi = -wt; local z flipped, dielectric.cpp:102-146)
@@ -536,7 +590,7 @@ def _sample_dielectric(tables, tex, kc, bid, uv, wo, n, t, b, inside, xi):
     atten_t = jnp.broadcast_to(atten_t_s[..., None], wo.shape)
     atten_t = atten_t + jnp.where(iso[..., None], comp_t[..., None], 0.0)
     atten_t = atten_t * sqr(eta)[..., None]
-    atten_t = atten_t * _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
+    atten_t = atten_t * _tex_or_white(_ktex(tex, tables, "transmit"), take_rows(tables.transmit_tid, bid), uv)
     valid_t = (
         (n_dot_i_t >= EPSILON_FLOAT)
         & (h_dot_i_t >= EPSILON_FLOAT)
@@ -566,8 +620,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     h = jnp.where(is_reflect[..., None], h_refl, h_tran)
     h_local = to_local(h, t, b, n)
 
-    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    au = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
     beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
@@ -608,8 +662,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
     atten_s = jnp.where(is_reflect, atten_r, atten_t * sqr(eta))
     comp_s = jnp.where(iso, comp, 0.0)
     comp_s = jnp.where(is_reflect, comp_s, comp_s * sqr(eta))
-    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
-    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
+    spec = _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(_ktex(tex, tables, "transmit"), take_rows(tables.transmit_tid, bid), uv)
     color = jnp.where(is_reflect[..., None], spec, tran)
     atten = (atten_s + comp_s)[..., None] * color
 
@@ -620,8 +674,8 @@ def _eval_dielectric(tables, tex, kc, bid, uv, wi, wo, n, t, b, inside):
 def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     """csrt thin_dielectric.cpp:11-71: double-interface Fresnel, reflect
     or pass straight through (wi = wo)."""
-    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    au = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
     beck = take_rows(tables.use_beckmann, bid)
     h_local, d_pdf = _sample_ndf(xi[0], xi[1], au, av, beck)
     h = to_world(h_local, t, b, n)
@@ -641,8 +695,8 @@ def _sample_thin_dielectric(tables, tex, bid, uv, wo, n, t, b, xi):
     choose_reflect = xi[2] < f
     pdf = jnp.where(choose_reflect, pdf0 * f, pdf0 * (1.0 - f))
     base = jnp.where(choose_reflect, f, 1.0 - f) * d_pdf * g / (4.0 * _safe(n_dot_o))
-    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
-    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
+    spec = _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(_ktex(tex, tables, "transmit"), take_rows(tables.transmit_tid, bid), uv)
     atten = base[..., None] * jnp.where(choose_reflect[..., None], spec, tran)
     wi = jnp.where(choose_reflect[..., None], wi_r, wo)
 
@@ -661,8 +715,8 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
 
     h = normalize(-wi + wo_eff)
     h_local = to_local(h, t, b, n)
-    au = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
-    av = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
+    au = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, bid), uv), _MIN_ALPHA)
+    av = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, bid), uv), _MIN_ALPHA)
     beck = take_rows(tables.use_beckmann, bid)
     d = _pdf_ndf(au, av, h_local, beck)
     h_dot_i = dot(-wi, h)
@@ -674,8 +728,8 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
     wi_local = to_local(-wi, t, b, n)
     g = _g1_ndf(au, av, wi_local, h_local, beck) * _g1_ndf(au, av, wo_local, h_local, beck)
     base = jnp.where(is_reflect, f, 1.0 - f) * d * g / (4.0 * _safe(n_dot_o))
-    spec = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
-    tran = _tex_or_white(tex, take_rows(tables.transmit_tid, bid), uv)
+    spec = _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
+    tran = _tex_or_white(_ktex(tex, tables, "transmit"), take_rows(tables.transmit_tid, bid), uv)
     atten = base[..., None] * jnp.where(is_reflect[..., None], spec, tran)
 
     valid = (pdf >= EPSILON) & (jnp.abs(n_dot_o_raw) >= EPSILON_FLOAT)
@@ -683,8 +737,8 @@ def _eval_thin_dielectric(tables, tex, bid, uv, wi, wo, n, t, b):
 
 
 def _plastic_lobe_weights(tables, tex, bid, uv):
-    kd = textures.eval_color(tex, take_rows(tables.diffuse_tid, bid), uv)
-    ks = _tex_or_white(tex, take_rows(tables.specular_tid, bid), uv)
+    kd = textures.eval_color(_ktex(tex, tables, "diffuse"), take_rows(tables.diffuse_tid, bid), uv)
+    ks = _tex_or_white(_ktex(tex, tables, "specular"), take_rows(tables.specular_tid, bid), uv)
     w_spec = jnp.sum(ks, axis=-1) / _safe(
         jnp.sum(kd, axis=-1) + jnp.sum(ks, axis=-1)
     )
@@ -697,7 +751,7 @@ def _sample_plastic(tables, tex, bid, uv, wo, n, t, b, xi):
     kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
     refl = take_rows(tables.reflectivity, bid)
     f_avg = take_rows(tables.f_avg, bid)
-    alpha = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
+    alpha = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness"), take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
 
     n_dot_o = dot(wo, n)
     kr_o = fresnel_schlick(n_dot_o, refl)
@@ -764,7 +818,7 @@ def _eval_plastic(tables, tex, bid, uv, wi, wo, n, t, b):
     kd, ks, w_spec = _plastic_lobe_weights(tables, tex, bid, uv)
     refl = take_rows(tables.reflectivity, bid)
     f_avg = take_rows(tables.f_avg, bid)
-    alpha = jnp.maximum(_scalar_tex(tex, take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
+    alpha = jnp.maximum(_scalar_tex(_ktex(tex, tables, "roughness"), take_rows(tables.roughness_tid, bid), uv), _MIN_ALPHA)
 
     n_dot_o = dot(wo, n)
     n_dot_i = dot(-wi, n)
@@ -819,7 +873,7 @@ def _eval_clearcoat(tables, tex, kc, bid, uv, wi, wo, n, t, b):
     f_coat = fresnel_dielectric(jnp.abs(dot(-wi, h)), 1.0 / 1.5)
     w_coat = clear * f_coat
     a_coat = jnp.maximum(
-        _scalar_tex(tex, take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
+        _scalar_tex(_ktex(tex, tables, "coat_roughness"), take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
     )
     d_coat = pdf_ggx(a_coat, a_coat, h_local)
     pdf_coat = d_coat / (4.0 * _safe(jnp.abs(dot(wo, h))))
@@ -851,7 +905,7 @@ def _sample_clearcoat(tables, tex, kc, bid, uv, wo, n, t, b, xi):
 
     # coat branch: sample coat GGX and reflect
     a_coat = jnp.maximum(
-        _scalar_tex(tex, take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
+        _scalar_tex(_ktex(tex, tables, "coat_roughness"), take_rows(tables.coat_roughness_tid, bid), uv), _MIN_ALPHA
     )
     h_local_c, _ = sample_ggx(xi[0], xi[1], a_coat, a_coat)
     h_c = to_world(h_local_c, t, b, n)
@@ -908,7 +962,7 @@ def bsdf_sample(tables: BsdfTables, tex, present_types, bid, wo, normal,
     if BsdfType.DIFFUSE in present_types:
         m = btype == BsdfType.DIFFUSE
         w_, p_, a_, v_ = _sample_diffuse(
-            tex, take_rows(tables.diffuse_tid, bid), uv, n, t, b, xi
+            _ktex(tex, tables, "diffuse"), take_rows(tables.diffuse_tid, bid), uv, n, t, b, xi
         )
         merge(m, w_, p_, a_, v_)
 
@@ -992,7 +1046,7 @@ def bsdf_evaluate(tables: BsdfTables, tex, present_types, bid, wi, wo,
 
     if BsdfType.DIFFUSE in present_types:
         m = btype == BsdfType.DIFFUSE
-        p_, a_, v_ = _eval_diffuse(tex, take_rows(tables.diffuse_tid, bid), uv, n, wi, wo)
+        p_, a_, v_ = _eval_diffuse(_ktex(tex, tables, "diffuse"), take_rows(tables.diffuse_tid, bid), uv, n, wi, wo)
         merge(m, p_, a_, v_)
 
     if BsdfType.ROUGH_DIFFUSE in present_types:
@@ -1041,7 +1095,7 @@ def get_radiance(tables: BsdfTables, tex, bid, uv):
     """Area-light emitted radiance (csrt bsdf.cpp:255-265)."""
     bid = jnp.maximum(bid, 0)
     is_light = take_rows(tables.btype, bid) == BsdfType.AREA_LIGHT
-    rad = textures.eval_color(tex, jnp.maximum(take_rows(tables.radiance_tid, bid), 0), uv)
+    rad = textures.eval_color(_ktex(tex, tables, "radiance"), jnp.maximum(take_rows(tables.radiance_tid, bid), 0), uv)
     return jnp.where(is_light[..., None], rad, 0.0)
 
 
@@ -1071,6 +1125,6 @@ def is_connectible(tables: BsdfTables, tex, bid, uv, min_alpha: float = 0.05):
         | (t == BsdfType.ROUGH_DIFFUSE)
         | (t == BsdfType.PLASTIC)
     )
-    au = _scalar_tex(tex, take_rows(tables.roughness_u_tid, b), uv, default=0.0)
-    av = _scalar_tex(tex, take_rows(tables.roughness_v_tid, b), uv, default=0.0)
+    au = _scalar_tex(_ktex(tex, tables, "roughness_u"), take_rows(tables.roughness_u_tid, b), uv, default=0.0)
+    av = _scalar_tex(_ktex(tex, tables, "roughness_v"), take_rows(tables.roughness_v_tid, b), uv, default=0.0)
     return diffuseish | (jnp.maximum(au, av) >= min_alpha)

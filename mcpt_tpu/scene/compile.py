@@ -367,7 +367,7 @@ def compile_scene(config: RendererConfig) -> SceneData:
 
     # --- textures + bsdfs
     tex = config.textures.build()
-    bsdf = build_bsdf_tables(config.bsdfs)
+    bsdf = build_bsdf_tables(config.bsdfs, config.textures.infos)
     present = tuple(sorted({int(b.btype) for b in config.bsdfs}))
 
     # texture kinds reachable from surface shading (every *_tid column

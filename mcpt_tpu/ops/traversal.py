@@ -739,7 +739,14 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-    order = jnp.argsort(_ray_sort_keys(geom, o, d))
+    # masked lanes (t_max <= t_min: NEE geo-fail, dead wavefront slots)
+    # sort LAST so they pack into blocks whose phase-B bound is zero —
+    # interleaved they dilute live blocks, which still march their full
+    # chunk union for fewer useful lanes
+    keys = _ray_sort_keys(geom, o, d) | jnp.where(
+        t_max <= t_min, jnp.int32(1 << 30), jnp.int32(0)
+    )
+    order = jnp.argsort(keys)
     o_s, d_s = o[order], d[order]
     tmin_s, tmax_s = t_min[order], t_max[order]
 

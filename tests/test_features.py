@@ -113,3 +113,54 @@ class TestAnalyticShapes:
         assert area == pytest.approx(2 * np.pi * r * 2.0, rel=1e-3)
         # all normals perpendicular to the axis
         assert np.abs(m.normals[:, 2]).max() < 1e-6
+
+
+class TestColumnKinds:
+    """Per-parameter texture-kind narrowing (BsdfTables.col_kinds) must
+    not change values: a BSDF eval with narrowed kinds equals the same
+    eval with every branch compiled."""
+
+    def test_narrowed_eval_matches_full(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mcpt_tpu.models import bsdf as B
+        from mcpt_tpu.models.texture import TextureBuilder
+        from mcpt_tpu.scene.ir import BsdfInfo, BsdfType
+
+        r = np.random.default_rng(5)
+        tb = TextureBuilder()
+        t_rough = tb.add_constant([0.3, 0.3, 0.3])
+        t_albedo = tb.add_bitmap((r.random((8, 8, 3)) * 0.8).astype(np.float32))
+        infos = [
+            BsdfInfo(btype=BsdfType.ROUGH_DIFFUSE,
+                     id_diffuse_reflectance=t_albedo,
+                     id_roughness=t_rough),
+        ]
+        tex = tb.build()
+        tables = B.build_bsdf_tables(infos, tb.infos)
+        # the narrowing must have recorded bitmap-only diffuse and
+        # constant-only roughness
+        ck = dict(tables.col_kinds)
+        assert ck["diffuse"] == (3,)
+        assert ck["roughness"] == (1,)
+
+        n = 256
+        bid = jnp.zeros((n,), jnp.int32)
+        nrm = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        tan = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (n, 1))
+        bit = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (n, 1))
+        inside = jnp.zeros((n,), bool)
+        uv = jnp.asarray(r.random((n, 2), dtype=np.float32))
+        wo = jnp.tile(jnp.asarray([0.0, 0.3, 0.954]), (n, 1))
+        wi = -jnp.tile(jnp.asarray([0.3, 0.0, 0.954]), (n, 1))
+
+        full = tables.replace(col_kinds=())  # falls back to tex.kinds
+        args = (B_present := (int(BsdfType.ROUGH_DIFFUSE),),)
+        p1, f1, v1 = B.bsdf_evaluate(
+            tables, tex, args[0], bid, wi, wo, nrm, tan, bit, inside, uv)
+        p2, f2, v2 = B.bsdf_evaluate(
+            full, tex, args[0], bid, wi, wo, nrm, tan, bit, inside, uv)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

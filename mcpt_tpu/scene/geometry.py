@@ -247,8 +247,9 @@ def commit_geometry(
     import os
 
     march_leaf = int(os.environ.get("MCPT_MARCH_LEAF", 64))
+    max_chunks = int(os.environ.get("MCPT_MARCH_MAX_CHUNKS", 2048))
     chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)
-    while len(chunks) > 2048:
+    while len(chunks) > max_chunks:
         march_leaf *= 2
         chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)
     n_march = len(chunks)

@@ -41,8 +41,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 512
 CHUNK_TILE = 256  # chunks slab-tested per phase-A tile
+
+
+def ray_block() -> int:
+    """Rays per march block.  Smaller blocks shrink the per-block chunk
+    corridor UNION (divergent regen wavefronts march the union, measured
+    ~56 chunks at 512 vs ~7 for coherent rays) at the cost of more
+    blocks; larger blocks amortize phase A.  MCPT_MARCH_BLOCK overrides
+    for sweeps (must be a multiple of 8 sublanes)."""
+    import os
+
+    return int(os.environ.get("MCPT_MARCH_BLOCK", 512))
+
+
+RAY_BLOCK = 512  # historical default; callers use ray_block()
 
 
 def _chunk_group(ls: int) -> int:
@@ -60,10 +73,14 @@ def _chunk_group(ls: int) -> int:
 _INF = float("inf")  # python float: a jnp scalar would be a captured const
 
 
-def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
-                  t_ref, prim_ref, v_ref, w_ref, flags_ref,
+SUPER = 128  # chunks per super-chunk (one lane tile of the A1 cull)
+SUP_LANES = 128  # lane width of the super arrays (n_sup <= 16 today)
+
+
+def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
+                  tris_ref, t_ref, prim_ref, v_ref, w_ref, flags_ref,
                   ent_ref, tri_vmem, dma_sem, *, lm, ls, any_hit,
-                  interval):
+                  interval, super_cull):
     rays = rays_ref[0]  # [8, R]
     r = rays.shape[1]
 
@@ -138,16 +155,15 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         )
         ent_ref[0:1, :] = jnp.where(possible, ent_iv, _INF)
 
-    n_tiles = 0 if interval else lm // CHUNK_TILE
-
-    def slab_tile(ti, _):
-        sl = pl.ds(ti * CHUNK_TILE, CHUNK_TILE)
-        bmin = cmin_ref[:, sl]  # [4, CT]
-        bmax = cmax_ref[:, sl]
+    def block_ent(bmin, bmax, width):
+        """Block-min entry distance per chunk: slab-test every ray in the
+        block against `width` AABBs ([4, width] min/max values) and
+        reduce over rays.  The 1e30 cap drops padding chunks (parked at
+        3e37, geometry.py) so all-miss lanes don't grind through them."""
 
         def near_far(lo_c, hi_c, o_c, rcp_c):
-            lo = (lo_c.reshape(1, CHUNK_TILE) - o_c) * rcp_c
-            hi = (hi_c.reshape(1, CHUNK_TILE) - o_c) * rcp_c
+            lo = (lo_c.reshape(1, width) - o_c) * rcp_c
+            hi = (hi_c.reshape(1, width) - o_c) * rcp_c
             return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
 
         nx, fx = near_far(bmin[0], bmax[0], ox, rx)
@@ -156,16 +172,53 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
         t_near = jnp.maximum(jnp.maximum(nx, ny), nz)
         t_enter = jnp.maximum(t_near, t_min)
         t_exit = jnp.minimum(jnp.minimum(jnp.minimum(fx, fy), fz), t_max)
-        # the 1e30 cap drops padding chunks (parked at 3e37, geometry.py)
-        # so all-miss lanes don't grind through them
         ent = jnp.where(
             (t_enter <= t_exit) & (t_enter < 1e30),
             jnp.maximum(t_enter, 0.0), _INF,
-        )  # [R, CT]
-        ent_ref[0:1, sl] = jnp.min(ent, axis=0, keepdims=True)
-        return _
+        )  # [R, width]
+        return jnp.min(ent, axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, n_tiles, slab_tile, 0)
+    if not interval and super_cull:
+        # Two-level phase A: chunks are grouped (in their SAH-DFS order,
+        # so consecutive chunks are spatially tight — geometry.py) into
+        # supers of SUPER chunks whose union AABBs were computed by the
+        # wrapper.  One [R, SUP_LANES] slab pass culls whole supers the
+        # block never enters (EXACT for the block-min metric: no ray
+        # enters the union => no ray enters any member chunk); only the
+        # passing supers pay the dense per-chunk test.  The dense
+        # [R, Lm] phase A was 80% of a coherent closest trace.
+        sup_ent = block_ent(smin_ref[:, :], smax_ref[:, :], SUP_LANES)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, SUP_LANES), 1)
+        n_sup = lm // SUPER
+
+        def sup_tile(si, _):
+            pred = jnp.min(jnp.where(iota_s == si, sup_ent, _INF)) < 1e30
+            sl = pl.ds(si * SUPER, SUPER)
+
+            @pl.when(pred)
+            def _run():
+                ent_ref[0:1, sl] = block_ent(
+                    cmin_ref[:, sl], cmax_ref[:, sl], SUPER
+                )
+
+            @pl.when(jnp.logical_not(pred))
+            def _skip():
+                ent_ref[0:1, sl] = jnp.full((1, SUPER), _INF)
+
+            return _
+
+        jax.lax.fori_loop(0, n_sup, sup_tile, 0)
+    else:
+        n_tiles = 0 if interval else lm // CHUNK_TILE
+
+        def slab_tile(ti, _):
+            sl = pl.ds(ti * CHUNK_TILE, CHUNK_TILE)
+            ent_ref[0:1, sl] = block_ent(
+                cmin_ref[:, sl], cmax_ref[:, sl], CHUNK_TILE
+            )
+            return _
+
+        jax.lax.fori_loop(0, n_tiles, slab_tile, 0)
 
     # ---- phase B: nearest-chunk-first march ---------------------------
     # Chunks are processed in GROUPS of `cg` nearest (cg*ls lanes per
@@ -315,21 +368,47 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, tris_ref,
     flags_ref[0] = neg_best + 2.0 * valid
 
 
+def _use_super_cull() -> bool:
+    """Two-level phase A is the default (opt-out MCPT_MARCH_SUPER=0)."""
+    import os
+
+    return os.environ.get("MCPT_MARCH_SUPER", "1") == "1"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "interpret", "interval")
+    jax.jit, static_argnames=("any_hit", "interpret", "interval",
+                              "super_cull")
 )
 def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
-                interpret: bool = False, interval: bool = False):
+                interpret: bool = False, interval: bool = False,
+                super_cull: bool = True):
     """rays: [G, 8, R]; cmin/cmax: [4, Lm] (Lm a multiple of CHUNK_TILE,
     padding chunks at 3e37); tris: [Lm, 16, ls].  Returns (t, prim, v,
     w, flags) each [G, R].  `interval=True` uses the conservative
-    block-summary phase A (same hits, ~R x less cull work)."""
+    block-summary phase A (same hits, ~R x less cull work);
+    `super_cull=True` (default) adds the exact two-level super-chunk
+    cull to the dense phase A."""
     g, _, r = rays.shape
     lm = cmin.shape[1]
     ls = tris.shape[2]
 
+    # union AABBs of SUPER consecutive chunks (SAH-DFS order => tight);
+    # supers that contain padding chunks inherit a 3e37 corner, which
+    # only makes their slab test pass — conservative, never wrong
+    n_sup = lm // SUPER
+    super_cull = super_cull and 0 < n_sup <= SUP_LANES and lm % SUPER == 0
+    smin = jnp.concatenate(
+        [cmin[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).min(axis=2),
+         jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmin.dtype)], axis=1
+    )
+    smax = jnp.concatenate(
+        [cmax[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).max(axis=2),
+         jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmax.dtype)], axis=1
+    )
+
     kernel = functools.partial(
-        _march_kernel, lm=lm, ls=ls, any_hit=any_hit, interval=interval
+        _march_kernel, lm=lm, ls=ls, any_hit=any_hit, interval=interval,
+        super_cull=super_cull,
     )
     out_shape = [
         jax.ShapeDtypeStruct((g, r, 1), jnp.float32),   # t
@@ -350,6 +429,10 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, lm), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, SUP_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, SUP_LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),          # tris stay in HBM
         ],
         out_specs=[out_spec] * 5,
@@ -362,4 +445,4 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
             pltpu.SemaphoreType.DMA((2, _chunk_group(ls))),
         ],
         interpret=interpret,
-    )(rays, cmin, cmax, tris)
+    )(rays, cmin, cmax, smin, smax, tris)

@@ -733,7 +733,7 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     """Block-local VMEM march (ops.pallas_march).  Rays are sorted by
     direction-octant + origin-Morton keys so each RAY_BLOCK shares
     chunks (same coherence argument as _intersect_packet)."""
-    from mcpt_tpu.ops.pallas_march import CHUNK_TILE, RAY_BLOCK, march_sweep
+    from mcpt_tpu.ops.pallas_march import CHUNK_TILE, march_sweep, ray_block
 
     n = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -750,7 +750,7 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     o_s, d_s = o[order], d[order]
     tmin_s, tmax_s = t_min[order], t_max[order]
 
-    r = RAY_BLOCK
+    r = ray_block()
     g = -(-n // r)
     pad = g * r
 
@@ -810,9 +810,12 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     # rays, scripts/pallas_march_bench.py) — opt-in only.
     import os
 
+    from mcpt_tpu.ops.pallas_march import _use_super_cull
+
     t, prim, v, w, flags = march_sweep(
         rays, cmin, cmax, tris, any_hit=any_hit, interpret=interpret,
         interval=os.environ.get("MCPT_MARCH_IVAL", "0") == "1",
+        super_cull=_use_super_cull(),
     )
     inverse = jnp.argsort(order)
     t, prim, v, w, flags = (

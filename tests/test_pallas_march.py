@@ -113,3 +113,24 @@ def test_pallas_march_on_chip_equivalence():
                                       interpret=False)
     np.testing.assert_array_equal(np.asarray(any_got.valid),
                                   np.asarray(any_ref.valid))
+
+
+def test_pallas_march_super_cull_on_off_identical(monkeypatch):
+    """The two-level super-chunk phase A must be EXACT: for every block,
+    a culled super means no ray in the block enters its union AABB, so
+    per-chunk block-min entries are INF either way.  Compare the full
+    output (t, prim, valid, inside) bit-for-bit between the dense and
+    the two-level phase A."""
+    geom = _geom(n_tris=1200, seed=31)
+    o, d = random_rays(600, seed=37)
+    monkeypatch.setenv("MCPT_MARCH_SUPER", "0")
+    off = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                  interpret=True)
+    monkeypatch.setenv("MCPT_MARCH_SUPER", "1")
+    on = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                 interpret=True)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(off),
+                    jax.tree_util.tree_leaves(on)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -49,10 +49,30 @@ def ray_block() -> int:
     corridor UNION (divergent regen wavefronts march the union, measured
     ~56 chunks at 512 vs ~7 for coherent rays) at the cost of more
     blocks; larger blocks amortize phase A.  MCPT_MARCH_BLOCK overrides
-    for sweeps (must be a multiple of 8 sublanes)."""
+    for sweeps.  R is the LANE dimension of the [G, 8, R] ray layout, so
+    it must be a positive multiple of 128 (a misaligned lane extent
+    fails the Mosaic verifier — traversal.py's DMA-extent note); invalid
+    values are rounded up with a warning instead of crashing."""
     import os
 
-    return int(os.environ.get("MCPT_MARCH_BLOCK", 512))
+    raw = os.environ.get("MCPT_MARCH_BLOCK", "512")
+    try:
+        r = int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"MCPT_MARCH_BLOCK must be an integer, got {raw!r}"
+        ) from e
+    if r <= 0:
+        raise ValueError(f"MCPT_MARCH_BLOCK must be positive, got {r}")
+    r_pad = -(-r // 128) * 128
+    if r_pad != r:
+        import warnings
+
+        warnings.warn(
+            f"MCPT_MARCH_BLOCK={r} is not a multiple of 128 (the VPU "
+            f"lane width); rounding up to {r_pad}", stacklevel=2,
+        )
+    return r_pad
 
 
 RAY_BLOCK = 512  # historical default; callers use ray_block()
@@ -65,10 +85,24 @@ def _chunk_group(ls: int) -> int:
     wide groups amortize the per-chunk loop+DMA bookkeeping and fill the
     VPU lanes; the nearest-first pruning loss is smaller than the
     overhead win on divergent wavefronts.  MCPT_MARCH_GROUP overrides
-    the lane target."""
+    the lane target; it self-clamps so the [R, cg*ls] sweep
+    intermediates fit scoped VMEM (group 2048 at R=512 OOM'd the
+    Mosaic scoped allocator — commit edd2d0a)."""
     import os
 
     target = int(os.environ.get("MCPT_MARCH_GROUP", 1024))
+    # ~15 [R, cg*ls] f32 intermediates live through the sweep; R=512 x
+    # 1024 lanes fits, 2048 does not — cap R * (cg*ls) at 2^19 lanes.
+    max_target = max(ls, (1 << 19) // max(ray_block(), 1))
+    if target > max_target:
+        import warnings
+
+        warnings.warn(
+            f"MCPT_MARCH_GROUP={target} exceeds the scoped-VMEM budget at "
+            f"MCPT_MARCH_BLOCK={ray_block()}; clamping to {max_target}",
+            stacklevel=2,
+        )
+        target = max_target
     return max(1, target // ls)
 _INF = float("inf")  # python float: a jnp scalar would be a captured const
 
@@ -397,14 +431,22 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
     # only makes their slab test pass — conservative, never wrong
     n_sup = lm // SUPER
     super_cull = super_cull and 0 < n_sup <= SUP_LANES and lm % SUPER == 0
-    smin = jnp.concatenate(
-        [cmin[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).min(axis=2),
-         jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmin.dtype)], axis=1
-    )
-    smax = jnp.concatenate(
-        [cmax[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).max(axis=2),
-         jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmax.dtype)], axis=1
-    )
+    if super_cull:
+        smin = jnp.concatenate(
+            [cmin[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).min(axis=2),
+             jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmin.dtype)], axis=1
+        )
+        smax = jnp.concatenate(
+            [cmax[:, : n_sup * SUPER].reshape(4, n_sup, SUPER).max(axis=2),
+             jnp.full((4, SUP_LANES - n_sup), 3.0e37, cmax.dtype)], axis=1
+        )
+    else:
+        # the kernel never reads smin/smax on this path; ship cheap
+        # zeros instead of computing (or crashing on) the real unions —
+        # scenes with > SUP_LANES*SUPER chunks made the old
+        # unconditional jnp.full raise at trace time (ADVICE r3, high)
+        smin = jnp.zeros((4, SUP_LANES), cmin.dtype)
+        smax = jnp.zeros((4, SUP_LANES), cmax.dtype)
 
     kernel = functools.partial(
         _march_kernel, lm=lm, ls=ls, any_hit=any_hit, interval=interval,

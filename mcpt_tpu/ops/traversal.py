@@ -802,8 +802,6 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         [tris, jnp.zeros((lm_pad, 4, ls_pad), tris.dtype)], axis=1
     )  # [Lm, 16, ls_pad]
 
-    import os
-
     # MCPT_MARCH_IVAL=1: conservative block-summary phase A — exact same
     # hits, ~R x less cull work, but the looser bound makes low-coherence
     # blocks march many more chunks (measured 8-15x SLOWER on randomized

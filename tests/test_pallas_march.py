@@ -134,3 +134,62 @@ def test_pallas_march_super_cull_on_off_identical(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(off),
                     jax.tree_util.tree_leaves(on)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_march_traces_beyond_super_lanes():
+    """Scenes with more than SUP_LANES*SUPER chunks must still trace:
+    the r3 wrapper computed the super-union AABBs unconditionally and
+    raised at trace time on the negative pad width even though the cull
+    was disabled (ADVICE r4, high).  eval_shape exercises exactly the
+    trace path without paying for execution."""
+    import jax
+
+    from mcpt_tpu.ops.pallas_march import SUP_LANES, SUPER, march_sweep
+
+    lm = (SUP_LANES + 1) * SUPER  # one super too many
+    ls = 8
+    rays = jax.ShapeDtypeStruct((1, 8, 128), jnp.float32)
+    cbox = jax.ShapeDtypeStruct((4, lm), jnp.float32)
+    tris = jax.ShapeDtypeStruct((lm, 16, ls), jnp.float32)
+    outs = jax.eval_shape(
+        lambda r, lo, hi, t: march_sweep(r, lo, hi, t, interpret=True),
+        rays, cbox, cbox, tris,
+    )
+    assert outs[0].shape == (1, 128, 1)
+
+
+def test_march_group_self_clamps(monkeypatch):
+    """MCPT_MARCH_GROUP beyond the scoped-VMEM budget clamps with a
+    warning instead of OOM-ing the Mosaic allocator (VERDICT r3 #5)."""
+    import warnings
+
+    from mcpt_tpu.ops.pallas_march import _chunk_group
+
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "512")
+    monkeypatch.setenv("MCPT_MARCH_GROUP", "4096")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cg = _chunk_group(64)
+    assert cg == (1 << 19) // 512 // 64
+    assert any("scoped-VMEM" in str(w.message) for w in rec)
+
+
+def test_march_block_validation(monkeypatch):
+    from mcpt_tpu.ops.pallas_march import ray_block
+
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "not-a-number")
+    import pytest
+
+    with pytest.raises(ValueError):
+        ray_block()
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "-8")
+    with pytest.raises(ValueError):
+        ray_block()
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "200")
+    import warnings
+
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        assert ray_block() == 256
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "256")
+    assert ray_block() == 256

@@ -255,11 +255,17 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
     cos_surf = dot(-wi, hit.normal)
     geo_ok = (cos_prime >= EPSILON_FLOAT) & (cos_surf >= EPSILON_FLOAT) & alive
 
-    # shadow ray from the light point toward the surface (path.cpp:199-203)
+    # Shadow segment surface -> light (the reference traces light ->
+    # surface, path.cpp:199-203; occlusion of the segment is symmetric).
+    # Direction matters for MARCH BLOCK coherence: the traversal sorts
+    # rays by direction-octant + origin-Morton, and a wavefront's bounce
+    # vertices are Morton-tight while the sampled light is one small
+    # patch — surface-origin rays share chunk corridors, light-origin
+    # rays fan out over the whole scene.
     occluded = scene_any(
         scene,
-        pos_l,
-        wi,
+        hit.position,
+        -wi,
         t_min=EPSILON_DISTANCE,
         t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
     )
@@ -630,9 +636,13 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         alive = alive | fresh
         work_k = work_k + fresh.astype(jnp.int32)
 
-        # --- trace (dead lanes get t_max = 0: the traversal idles them)
+        # --- trace (dead lanes get t_max = 0: the traversal idles them;
+        # fresh camera segments and bounce continuations sort into
+        # separate march blocks via the class bit — a mixed block
+        # marches the union of both classes' chunk corridors)
         ghit = scene_closest(
-            scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+            scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0),
+            sort_bias=(~fresh).astype(jnp.int32),
         )
         hit = interpolate_hit(scene, ghit, o, d)
         hit, seed = apply_opacity(scene, hit, seed)

@@ -116,10 +116,11 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         wi = d_vec / dist[..., None]
         cos_prime = dot(wi, n_l)
         geo_ok = (cos_prime >= EPSILON_FLOAT) & surface_cos_ok(wi) & alive
+        # surface -> light for march-block coherence (see path._nee_area)
         occluded = scene_any(
             scene,
-            pos_l,
-            wi,
+            origin,
+            -wi,
             t_min=EPSILON_DISTANCE,
             t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
         )
@@ -484,9 +485,11 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         alive = alive | fresh
         work_k = work_k + fresh.astype(jnp.int32)
 
-        # --- trace (dead lanes get t_max = 0: the traversal idles them)
+        # --- trace (dead lanes get t_max = 0: the traversal idles them;
+        # camera/bounce class bit — see path.shade_regen)
         ghit = scene_closest(
-            scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+            scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0),
+            sort_bias=(~fresh).astype(jnp.int32),
         )
         hit = interpolate_hit(scene, ghit, o, d)
         hit, seed = apply_opacity(scene, hit, seed)

@@ -31,8 +31,10 @@ class SceneHit(NamedTuple):
     quad: jnp.ndarray
 
 
-def scene_closest(scene, o, d, t_min=None, t_max=None) -> SceneHit:
-    g = intersect_closest(scene.geom, o, d, t_min=t_min, t_max=t_max)
+def scene_closest(scene, o, d, t_min=None, t_max=None,
+                  sort_bias=None) -> SceneHit:
+    g = intersect_closest(scene.geom, o, d, t_min=t_min, t_max=t_max,
+                          sort_bias=sort_bias)
     if not scene.quad_kinds:
         return SceneHit(
             valid=g.valid, t=g.t, prim=g.prim, v=g.v, w=g.w,

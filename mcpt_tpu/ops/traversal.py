@@ -729,10 +729,17 @@ def _use_pallas_march() -> bool:
 
 
 def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
-                            interpret=False):
+                            interpret=False, sort_bias=None):
     """Block-local VMEM march (ops.pallas_march).  Rays are sorted by
     direction-octant + origin-Morton keys so each RAY_BLOCK shares
-    chunks (same coherence argument as _intersect_packet)."""
+    chunks (same coherence argument as _intersect_packet).
+
+    `sort_bias`: optional [N] int32 coherence-CLASS key prepended (bit
+    29) above the geometric key — the regen wavefront passes camera=0 /
+    bounce=1 so freshly regenerated camera rays (one origin, narrow
+    cone) never share a block with divergent bounce continuations; a
+    mixed block marches the UNION of its rays' chunk corridors
+    (docs/PERF.md: ~56 chunks mixed vs ~7 coherent)."""
     from mcpt_tpu.ops.pallas_march import CHUNK_TILE, march_sweep, ray_block
 
     n = o.shape[0]
@@ -746,6 +753,8 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     keys = _ray_sort_keys(geom, o, d) | jnp.where(
         t_max <= t_min, jnp.int32(1 << 30), jnp.int32(0)
     )
+    if sort_bias is not None:
+        keys = keys | (jnp.asarray(sort_bias, jnp.int32) << 29)
     order = jnp.argsort(keys)
     o_s, d_s = o[order], d[order]
     tmin_s, tmax_s = t_min[order], t_max[order]
@@ -830,8 +839,8 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
 
 
 _march_pallas_closest = _detached(
-    lambda geom, o, d, t_min, t_max: _intersect_march_pallas(
-        geom, o, d, t_min, t_max, any_hit=False
+    lambda geom, o, d, t_min, t_max, sort_bias: _intersect_march_pallas(
+        geom, o, d, t_min, t_max, any_hit=False, sort_bias=sort_bias
     )
 )
 _march_pallas_any = _detached(
@@ -841,11 +850,13 @@ _march_pallas_any = _detached(
 )
 
 
-def intersect_closest(geom, o, d, t_min=None, t_max=None):
+def intersect_closest(geom, o, d, t_min=None, t_max=None, sort_bias=None):
     """Closest-hit traversal over the whole wavefront.
 
     geom: a Geometry pytree (scene.data.Geometry).
     o, d: [N, 3] rays.  Returns :class:`GeomHit`.
+    sort_bias: optional [N] int32 coherence-class hint (march path only —
+    see _intersect_march_pallas).
     """
     from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
 
@@ -860,7 +871,7 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None):
     if _large_strategy() == "packet":
         return _packet_closest(geom, o, d, t_min, t_max)
     if _use_pallas_march():
-        return _march_pallas_closest(geom, o, d, t_min, t_max)
+        return _march_pallas_closest(geom, o, d, t_min, t_max, sort_bias)
     return _march_closest(geom, o, d, t_min, t_max)
 
 

@@ -193,3 +193,21 @@ def test_march_block_validation(monkeypatch):
         assert ray_block() == 256
     monkeypatch.setenv("MCPT_MARCH_BLOCK", "256")
     assert ray_block() == 256
+
+
+def test_sort_bias_is_result_invariant():
+    """The coherence-class bit only re-permutes rays into blocks; the
+    hit record must be identical with and without it."""
+    import jax
+    import jax.numpy as jnp2
+
+    geom = _geom(n_tris=700, seed=41)
+    o, d = random_rays(512, seed=43)
+    bias = (jnp2.arange(512) % 2).astype(jnp2.int32)
+    base = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                   interpret=True)
+    biased = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                     interpret=True, sort_bias=bias)
+    for a, b in zip(jax.tree_util.tree_leaves(base),
+                    jax.tree_util.tree_leaves(biased)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

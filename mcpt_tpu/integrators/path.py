@@ -229,6 +229,17 @@ def _bsdf_eval(scene, hit, wi, wo):
     )
 
 
+SHADOW_ALPHA_K = 4  # max masked/null crossings resolved per shadow ray
+
+
+def _nee_query_count(scene: SceneData) -> int:
+    """Shadow queries one _direct_lighting call makes."""
+    q = (1 if scene.n_emissive else 0) + len(scene.emitter_rows)
+    if scene.env_kind != "none":
+        q += 1
+    return q
+
+
 def nee_draw_count(scene: SceneData) -> int:
     """Uniform draws consumed by one _direct_lighting call (scene-static
     so RNG streams stay aligned across the wavefront)."""
@@ -240,10 +251,81 @@ def nee_draw_count(scene: SceneData) -> int:
         k += 3  # row+jitter, col+jitter, alias coin
     elif scene.env_kind == "constant":
         k += 2
+    if scene.has_opacity:
+        # stochastic-alpha draws for every shadow query (shadow_occluded)
+        k += SHADOW_ALPHA_K * _nee_query_count(scene)
     return max(k, 1)
 
 
-def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
+def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi):
+    """Occlusion along the segment o -> o + dist*d with stochastic alpha.
+
+    The reference alpha-tests INSIDE both Intersect and IntersectAny
+    (csrt triangle.cpp:116-147, bsdf.cpp:272-276): a masked surface
+    passes a shadow ray with probability (1 - alpha).  The r3 any-hit
+    honored only null-boundary transparency, so an alpha-masked occluder
+    blocked 100% of shadow rays while passing (1 - alpha) of camera rays
+    — biased (r3 VERDICT missing #3).
+
+    Scenes without opacity maps compile the plain any-hit (static
+    branch, zero cost).  With them, the query walks the segment's
+    successive closest hits, up to SHADOW_ALPHA_K crossings: an opaque
+    hit occludes; a null-boundary (medium shell) hit passes; a masked
+    TRIANGLE hit occludes with probability alpha — the same draw
+    convention as apply_opacity, and like csrt the alpha test applies
+    only to triangles (quadric primitives have no alpha path,
+    sphere.cpp/disk.cpp/cylinder.cpp).  Crossings beyond SHADOW_ALPHA_K
+    pass unoccluded (bounded-depth deviation, noted).
+
+    xi: [SHADOW_ALPHA_K, N] uniforms, consumed iff scene.has_opacity
+    (nee_draw_count keeps RNG streams aligned).
+    """
+    from mcpt_tpu.ops.math import EPSILON_DISTANCE as EPS_D
+
+    t_hi = jnp.where(geo_ok, dist - EPS_D, 0.0)
+    if not scene.has_opacity:
+        return scene_any(scene, o, d, t_min=EPS_D, t_max=t_hi)
+
+    n = dist.shape[0]
+    occ = jnp.zeros((n,), jnp.bool_)
+    active = geo_ok
+    t_lo = jnp.full((n,), EPS_D, jnp.float32)
+    g = scene.geom
+    for k in range(SHADOW_ALPHA_K):
+        h = scene_closest(
+            scene, o, d, t_min=t_lo, t_max=jnp.where(active, t_hi, 0.0)
+        )
+        valid = h.valid & active
+        inst = take_rows(g.inst_id, h.prim)
+        if scene.quad_kinds:
+            is_q = h.quad >= 0
+            qinst = take_rows(scene.quad.inst_id, jnp.maximum(h.quad, 0))
+            inst = jnp.where(is_q, qinst, inst)
+        else:
+            is_q = jnp.zeros((n,), jnp.bool_)
+        bsdf_id = take_rows(scene.map_inst_bsdf, jnp.maximum(inst, 0))
+        is_null = bsdf_id < 0
+        tid = take_rows(scene.bsdf.opacity_tid, jnp.maximum(bsdf_id, 0))
+        has_mask = (tid >= 0) & ~is_null & ~is_q
+        u_b = 1.0 - h.v - h.w
+        uv = (
+            u_b[..., None] * take_rows(g.uv0, h.prim)
+            + h.v[..., None] * take_rows(g.uv1, h.prim)
+            + h.w[..., None] * take_rows(g.uv2, h.prim)
+        )
+        alpha = textures.eval_opacity(
+            bsdfs._ktex(scene.tex, scene.bsdf, "opacity"),
+            jnp.maximum(tid, 0), uv,
+        )
+        blocked = valid & ~is_null & (~has_mask | (xi[k] < alpha))
+        occ = occ | blocked
+        active = valid & ~blocked  # crossed a null shell or passed a mask
+        t_lo = jnp.where(active, h.t + EPS_D, t_lo)
+    return occ
+
+
+def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
+              xi_shadow):
     """Direct lighting from the sampled area light with MIS
     (csrt EvaluateDirectLightPath, path.cpp:185-236)."""
     pos_l, n_l, radiance, pdf_area = _sample_area_light(scene, xi0, xi1, xi2)
@@ -262,12 +344,8 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
     # vertices are Morton-tight while the sampled light is one small
     # patch — surface-origin rays share chunk corridors, light-origin
     # rays fan out over the whole scene.
-    occluded = scene_any(
-        scene,
-        hit.position,
-        -wi,
-        t_min=EPSILON_DISTANCE,
-        t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
+    occluded = shadow_occluded(
+        scene, hit.position, -wi, geo_ok, dist, xi_shadow
     )
     ok = geo_ok & ~occluded
 
@@ -285,14 +363,10 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2):
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _shadow_ok(scene, hit, wi, dist, geo_ok):
+def _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow=None):
     """Surface-origin shadow ray along -wi (path.cpp:151-156)."""
-    occluded = scene_any(
-        scene,
-        hit.position,
-        -wi,
-        t_min=EPSILON_DISTANCE,
-        t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
+    occluded = shadow_occluded(
+        scene, hit.position, -wi, geo_ok, dist, xi_shadow
     )
     return geo_ok & ~occluded
 
@@ -305,10 +379,24 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
     n = wo.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
     cursor = 0
+    # stochastic-alpha draws live at the tail of xi: query j consumes
+    # xi[s_base + j*K : s_base + (j+1)*K] (layout fixed by nee_draw_count)
+    s_base = nee_draw_count(scene) - (
+        SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
+    )
+    s_query = 0
+
+    def xi_shadow():
+        nonlocal s_query
+        if not scene.has_opacity:
+            return None
+        lo = s_base + s_query * SHADOW_ALPHA_K
+        s_query += 1
+        return xi[lo : lo + SHADOW_ALPHA_K]
 
     if scene.n_emissive:
         L = L + _nee_area(
-            scene, hit, wo, alive, xi[0], xi[1], xi[2]
+            scene, hit, wo, alive, xi[0], xi[1], xi[2], xi_shadow()
         )
         cursor = 3
 
@@ -334,7 +422,7 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
         else:
             continue
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok)
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow())
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         # harsh delta light: no MIS, no pdf division (path.cpp:170-173)
         L = L + jnp.where((ok & f_valid)[..., None], rad * f, 0.0)
@@ -352,7 +440,7 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
                 xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok)
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow())
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         w_mis = mis_weight(pdf, pdf_eval)
         contrib = (

@@ -98,6 +98,26 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
     mid_surf = segment_medium(scene, hit, wo)
     mid = jnp.where(scattering, cur_mid, mid_surf)
     cursor = 0
+    # stochastic-alpha shadow draws at the xi tail (see path.nee_draw_count)
+    from mcpt_tpu.integrators.path import (
+        SHADOW_ALPHA_K,
+        _nee_query_count,
+        nee_draw_count as _ndc,
+        shadow_occluded,
+    )
+
+    s_base = _ndc(scene) - (
+        SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
+    )
+    s_query = 0
+
+    def xi_shadow():
+        nonlocal s_query
+        if not scene.has_opacity:
+            return None
+        lo = s_base + s_query * SHADOW_ALPHA_K
+        s_query += 1
+        return xi[lo : lo + SHADOW_ALPHA_K]
 
     def surface_cos_ok(wi):
         # surfaces require light above the shading plane; medium vertices
@@ -117,13 +137,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         cos_prime = dot(wi, n_l)
         geo_ok = (cos_prime >= EPSILON_FLOAT) & surface_cos_ok(wi) & alive
         # surface -> light for march-block coherence (see path._nee_area)
-        occluded = scene_any(
-            scene,
-            origin,
-            -wi,
-            t_min=EPSILON_DISTANCE,
-            t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
-        )
+        occluded = shadow_occluded(scene, origin, -wi, geo_ok, dist,
+                                   xi_shadow())
         ok = geo_ok & ~occluded
         w_med, ok_med = media.eval_transmittance(scene.media, mid, dist)
         pdf_eval, f, f_valid = _eval_vertex(scene, hit, scattering, cur_mid, wi, wo)
@@ -161,13 +176,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
         else:
             continue
         geo_ok = valid & alive & surface_cos_ok(wi)
-        occluded = scene_any(
-            scene,
-            origin,
-            -wi,
-            t_min=EPSILON_DISTANCE,
-            t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
-        )
+        occluded = shadow_occluded(scene, origin, -wi, geo_ok, dist,
+                                   xi_shadow())
         ok = geo_ok & ~occluded
         w_med, ok_med = media.eval_transmittance(scene.media, mid, dist)
         pdf_eval, f, f_valid = _eval_vertex(scene, hit, scattering, cur_mid, wi, wo)
@@ -187,13 +197,8 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
                 xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & surface_cos_ok(wi)
-        occluded = scene_any(
-            scene,
-            origin,
-            -wi,
-            t_min=EPSILON_DISTANCE,
-            t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
-        )
+        occluded = shadow_occluded(scene, origin, -wi, geo_ok, dist,
+                                   xi_shadow())
         ok = geo_ok & ~occluded
         w_med, ok_med = media.eval_transmittance(scene.media, mid, dist)
         pdf_eval, f, f_valid = _eval_vertex(scene, hit, scattering, cur_mid, wi, wo)

@@ -90,19 +90,27 @@ def _chunk_group(ls: int) -> int:
     Mosaic scoped allocator — commit edd2d0a)."""
     import os
 
-    target = int(os.environ.get("MCPT_MARCH_GROUP", 1024))
-    # ~15 [R, cg*ls] f32 intermediates live through the sweep; R=512 x
-    # 1024 lanes fits, 2048 does not — cap R * (cg*ls) at 2^19 lanes.
-    max_target = max(ls, (1 << 19) // max(ray_block(), 1))
-    if target > max_target:
-        import warnings
+    # ~15 [R, cg*ls] f32 intermediates live through the sweep against a
+    # 16 MB Mosaic scoped-VMEM stack; R=512 x 1024 lanes measured
+    # 17.06 MB with the phase-A guards (r4) — budget R * (cg*ls) at
+    # 384k lanes (=> 768 sweep lanes at the default R=512; 896
+    # still measured 16.01 MB inside the fused regen loop).
+    max_target = max(ls, (384 << 10) // max(ray_block(), 1))
+    raw = os.environ.get("MCPT_MARCH_GROUP")
+    if raw is None:
+        target = min(1024, max_target)
+    else:
+        target = int(raw)
+        if target > max_target:
+            import warnings
 
-        warnings.warn(
-            f"MCPT_MARCH_GROUP={target} exceeds the scoped-VMEM budget at "
-            f"MCPT_MARCH_BLOCK={ray_block()}; clamping to {max_target}",
-            stacklevel=2,
-        )
-        target = max_target
+            warnings.warn(
+                f"MCPT_MARCH_GROUP={target} exceeds the scoped-VMEM budget "
+                f"at MCPT_MARCH_BLOCK={ray_block()}; clamping to "
+                f"{max_target}",
+                stacklevel=2,
+            )
+            target = max_target
     return max(1, target // ls)
 _INF = float("inf")  # python float: a jnp scalar would be a captured const
 
@@ -132,6 +140,21 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
         )
 
     rx, ry, rz = rcp(dx), rcp(dy), rcp(dz)
+
+    # Dead blocks (every lane t_max <= t_min: exhausted regen slots and
+    # NEE geo-fail tails, which the wrapper's sort packs together) skip
+    # phase A — the dominant per-block fixed cost; the march loop then
+    # runs zero iterations on its own (bound = max(t_max) = 0 <= te).
+    # The guard is deliberately NARROW: wrapping the whole body in
+    # pl.when doubles the Mosaic scoped-VMEM accounting and OOMs the
+    # compile (r4 measurement).
+    block_live = jnp.max(t_max - t_min) > 0.0
+
+    @pl.when(jnp.logical_not(block_live))
+    def _ent_dead():
+        # take_group still reads ent to pick (unused) DMA indices — INF
+        # keeps them deterministic instead of uninitialized VMEM
+        ent_ref[0:1, :] = jnp.full((1, lm), _INF)
 
     # ---- phase A: block-min entry distance per chunk ------------------
     if interval:
@@ -187,7 +210,10 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
         possible = (
             (ent_iv <= jnp.minimum(far_u, tmax_hi)) & (near_l < 1e30)
         )
-        ent_ref[0:1, :] = jnp.where(possible, ent_iv, _INF)
+
+        @pl.when(block_live)
+        def _write_interval_ent():
+            ent_ref[0:1, :] = jnp.where(possible, ent_iv, _INF)
 
     def block_ent(bmin, bmax, width):
         """Block-min entry distance per chunk: slab-test every ray in the
@@ -226,7 +252,9 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
         n_sup = lm // SUPER
 
         def sup_tile(si, _):
-            pred = jnp.min(jnp.where(iota_s == si, sup_ent, _INF)) < 1e30
+            pred = block_live & (
+                jnp.min(jnp.where(iota_s == si, sup_ent, _INF)) < 1e30
+            )
             sl = pl.ds(si * SUPER, SUPER)
 
             @pl.when(pred)
@@ -247,9 +275,13 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
 
         def slab_tile(ti, _):
             sl = pl.ds(ti * CHUNK_TILE, CHUNK_TILE)
-            ent_ref[0:1, sl] = block_ent(
-                cmin_ref[:, sl], cmax_ref[:, sl], CHUNK_TILE
-            )
+
+            @pl.when(block_live)
+            def _run():
+                ent_ref[0:1, sl] = block_ent(
+                    cmin_ref[:, sl], cmax_ref[:, sl], CHUNK_TILE
+                )
+
             return _
 
         jax.lax.fori_loop(0, n_tiles, slab_tile, 0)

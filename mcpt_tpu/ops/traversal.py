@@ -755,9 +755,17 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     )
     if sort_bias is not None:
         keys = keys | (jnp.asarray(sort_bias, jnp.int32) << 29)
-    order = jnp.argsort(keys)
-    o_s, d_s = o[order], d[order]
-    tmin_s, tmax_s = t_min[order], t_max[order]
+    # ONE variadic sort carries the key, the recovered permutation (the
+    # iota operand), and all eight ray columns — replacing argsort plus
+    # a chain of per-lane gathers (a TPU gather at 64k lanes costs
+    # ~0.85-1.3 ms EACH, docs/PERF.md r3; the permutation machinery was
+    # costing more than the march kernel itself on dragon)
+    _, order, o0, o1, o2, d0, d1, d2, tmin_s, tmax_s = lax.sort(
+        (keys, jnp.arange(n, dtype=jnp.int32),
+         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_min, t_max),
+        dimension=0, num_keys=1, is_stable=False,
+    )
 
     r = ray_block()
     g = -(-n // r)
@@ -771,8 +779,8 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
 
     rays = jnp.stack(
         [
-            pad1(o_s[:, 0]), pad1(o_s[:, 1]), pad1(o_s[:, 2]),
-            pad1(d_s[:, 0]), pad1(d_s[:, 1]), pad1(d_s[:, 2], fill=1.0),
+            pad1(o0), pad1(o1), pad1(o2),
+            pad1(d0), pad1(d1), pad1(d2, fill=1.0),
             pad1(tmin_s), pad1(tmax_s, fill=0.0),
         ]
     ).reshape(8, g, r).swapaxes(0, 1)  # [G, 8, R]
@@ -824,9 +832,12 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         interval=os.environ.get("MCPT_MARCH_IVAL", "0") == "1",
         super_cull=_use_super_cull(),
     )
-    inverse = jnp.argsort(order)
-    t, prim, v, w, flags = (
-        x.reshape(pad)[:n][inverse] for x in (t, prim, v, w, flags)
+    # inverse permutation = one variadic sort keyed on `order` (a
+    # permutation of iota: no ties, deterministic) instead of
+    # argsort + five per-lane gathers
+    _, t, prim, v, w, flags = lax.sort(
+        (order,) + tuple(x.reshape(pad)[:n] for x in (t, prim, v, w, flags)),
+        dimension=0, num_keys=1, is_stable=False,
     )
     return GeomHit(
         valid=flags >= 2.0,

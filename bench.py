@@ -123,6 +123,36 @@ def main():
     rays = samples * (1 + 2 * avg_bounces)
     mrays = rays / dt / 1e6
 
+    # worst-case scene alongside the headline (r3 VERDICT weak #8:
+    # "bench.py reports one scene — the flattering one").  classroom is
+    # the slowest per-scene config (docs/PERF.md); same convention as
+    # scripts/bench_suite.py (avg_bounces 3.5).
+    classroom = {}
+    cls_xml = "/root/reference/resources/scene/classroom/scene_v0.6.xml"
+    if os.path.exists(cls_xml) and os.environ.get("MCPT_BENCH_WORST", "1") == "1":
+        try:
+            from mcpt_tpu.scene.parser import load_config
+
+            ccfg = load_config(cls_xml)
+            ccfg.camera.width = ccfg.camera.height = RES
+            ccfg.integrator.depth_max = DEPTH
+            rc = Renderer(ccfg)
+            rc.render(spp=SPP, tile=tile, spp_chunk=spp_chunk)
+            t0 = time.time()
+            img = rc.render(spp=SPP, tile=tile, spp_chunk=spp_chunk,
+                            frame_base=1)
+            jax.block_until_ready(img)
+            cdt = time.time() - t0
+            cm = samples * (1 + 2 * 3.5) / cdt / 1e6
+            classroom = {
+                "mrays_s": round(cm, 3),
+                "wall_s": round(cdt, 3),
+                # measured reference CPU build, this host (BASELINE.md r4)
+                "vs_reference_cpu": round(cm / 0.534, 2),
+            }
+        except Exception as e:  # classroom failure must not kill the bench
+            classroom = {"error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -130,7 +160,8 @@ def main():
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 # ratio to the recorded round-1 number (BENCH_r01.json);
-                # the reference itself publishes nothing (BASELINE.md)
+                # the reference publishes nothing — BASELINE.md carries
+                # the measured CPU-build bar instead (detail ratios)
                 "vs_baseline": round(mrays / 8.794, 3),
                 "detail": {
                     "scene": scene_name,
@@ -140,6 +171,8 @@ def main():
                     "wall_s": round(dt, 3),
                     "msamples_per_s": round(samples / dt / 1e6, 3),
                     "spp_per_s": round(SPP / dt, 3),
+                    "vs_reference_cpu": round(mrays / 6.386, 2),
+                    "classroom": classroom,
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -45,6 +45,10 @@ CASES = [
      "dragon/TungstenRender.exr"),
     ("cornell-box", "cornell-box/scene_v0.6.xml", "cornell-box.png",
      "cornell-box/TungstenRender.exr"),
+    # BASELINE config #5: homogeneous medium + isotropic phase (volpath)
+    ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml",
+     "volumetric-caustic_isotropic.png",
+     "volumetric-caustic/TungstenRender.exr"),
 ]
 
 WORKER = r"""

@@ -247,13 +247,14 @@ def commit_geometry(
     import os
 
     # Default chunk size: swept end-to-end on the chip (r4).  Scenes up
-    # to ~128k prims run fastest at 256-tri chunks (dragon 25.9 -> 28.5,
-    # conductor 1.95 -> 2.46, dielectric -> 2.05 Mrays/s): fewer, fatter
-    # chunks amortize the per-chunk selection + DMA bookkeeping in the
-    # march loop.  Larger scenes keep the 64-start doubling rule —
-    # classroom (171k prims, lands on 128) measured 0.86 vs 0.73 at a
-    # forced 256; dining-room's rule lands on 256 either way.
-    default_leaf = 256 if p <= (128 << 10) else 64
+    # to 64k prims run fastest at 256-tri chunks (dragon [51k prims]
+    # 25.9 -> 28.5, conductor [62k] 1.95 -> 2.46, dielectric -> 2.05
+    # Mrays/s): fewer, fatter chunks amortize the per-chunk selection +
+    # DMA bookkeeping in the march loop.  Larger scenes keep the
+    # 64-start doubling rule — classroom (104k prims, doubling lands on
+    # 128) measured 0.86 at 128 vs 0.73 at a forced 256; dining-room
+    # (270k) lands on 256 either way.
+    default_leaf = 256 if p <= (1 << 16) else 64
     march_leaf = int(os.environ.get("MCPT_MARCH_LEAF", default_leaf))
     max_chunks = int(os.environ.get("MCPT_MARCH_MAX_CHUNKS", 2048))
     chunks = _sah_chunks(s_cent, s_min, s_max, march_leaf)

@@ -49,6 +49,11 @@ CASES = [
     ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml",
      "volumetric-caustic_isotropic.png",
      "volumetric-caustic/TungstenRender.exr"),
+    # the two mesh-heavy interiors (three-way vs reference + Tungsten)
+    ("classroom", "classroom/scene_v0.6.xml", "classroom.png",
+     "classroom/TungstenRender.exr"),
+    ("dining-room", "dining-room/scene_v0.6.xml", "dining-room.png",
+     "dining-room/TungstenRender.exr"),
 ]
 
 WORKER = r"""

@@ -193,22 +193,26 @@ def _light_subpath(scene: SceneData, integ, seed, n):
     return vertices, seed
 
 
-def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex):
+def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex,
+             xi_shadow=None):
     """One camera-vertex <-> light-vertex connection
     (bdpt.cpp:194-245): visibility + eval at both ends + area-measure
-    conversion.  Returns (L [N,3], pdf_direct [N], ok [N])."""
+    conversion.  Returns (L [N,3], pdf_direct [N], ok [N]).
+
+    The visibility segment traces camera-vertex -> light-vertex (origin
+    coherence for the march blocks — see path._nee_area) and applies
+    stochastic alpha like the archive's IsTransparent-in-traversal
+    (archive/src/shapes/triangle.cpp:66)."""
+    from mcpt_tpu.integrators.path import shadow_occluded
+
     d_vec = hit.position - vert.position
     dist = jnp.sqrt(jnp.maximum(dot(d_vec, d_vec), 1e-20))
     dir_lc = d_vec / dist[..., None]  # light-vertex -> camera-vertex
 
     cos_prime = jnp.abs(dot(dir_lc, vert.normal))
     geo_ok = vert.valid & alive & (cos_prime >= EPSILON_FLOAT)
-    occluded = scene_any(
-        scene,
-        vert.position,
-        dir_lc,
-        t_min=EPSILON_DISTANCE,
-        t_max=jnp.where(geo_ok, dist - EPSILON_DISTANCE, 0.0),
+    occluded = shadow_occluded(
+        scene, hit.position, -dir_lc, geo_ok, dist, xi_shadow
     )
     ok = geo_ok & ~occluded
 
@@ -319,7 +323,13 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         conn_L = []
         conn_pdf = []
         for vert in light_path:
-            Lc, pdfc, okc = _connect(scene, hit, wo, alive, vert)
+            if scene.has_opacity:
+                from mcpt_tpu.integrators.path import SHADOW_ALPHA_K
+
+                seed, xi_sh = rng.random_floats(seed, SHADOW_ALPHA_K)
+            else:
+                xi_sh = None
+            Lc, pdfc, okc = _connect(scene, hit, wo, alive, vert, xi_sh)
             conn_L.append(Lc)
             conn_pdf.append(jnp.where(okc, pdfc, 0.0))
         if conn_L:

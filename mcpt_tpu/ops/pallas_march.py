@@ -44,18 +44,23 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK_TILE = 256  # chunks slab-tested per phase-A tile
 
 
-def ray_block() -> int:
+def ray_block(n_prims: int | None = None) -> int:
     """Rays per march block.  Smaller blocks shrink the per-block chunk
     corridor UNION (divergent regen wavefronts march the union, measured
     ~56 chunks at 512 vs ~7 for coherent rays) at the cost of more
-    blocks; larger blocks amortize phase A.  MCPT_MARCH_BLOCK overrides
-    for sweeps.  R is the LANE dimension of the [G, 8, R] ray layout, so
-    it must be a positive multiple of 128 (a misaligned lane extent
-    fails the Mosaic verifier — traversal.py's DMA-extent note); invalid
-    values are rounded up with a warning instead of crashing."""
+    blocks; larger blocks amortize phase A.  Default by scene size (r4
+    end-to-end sweep): > 64k prims -> 256 (classroom 0.86 -> 1.02
+    Mrays/s; the union shrinks faster than the per-block overhead
+    grows), else 512 (dragon measured slower at 256).
+    MCPT_MARCH_BLOCK overrides.  R is the LANE dimension of the
+    [G, 8, R] ray layout, so it must be a positive multiple of 128 (a
+    misaligned lane extent fails the Mosaic verifier — traversal.py's
+    DMA-extent note); invalid values are rounded up with a warning
+    instead of crashing."""
     import os
 
-    raw = os.environ.get("MCPT_MARCH_BLOCK", "512")
+    default = 256 if (n_prims is not None and n_prims > (1 << 16)) else 512
+    raw = os.environ.get("MCPT_MARCH_BLOCK", str(default))
     try:
         r = int(raw)
     except ValueError as e:
@@ -78,7 +83,7 @@ def ray_block() -> int:
 RAY_BLOCK = 512  # historical default; callers use ray_block()
 
 
-def _chunk_group(ls: int) -> int:
+def _chunk_group(ls: int, r: int = RAY_BLOCK) -> int:
     """Chunks marched per loop iteration (as one [R, cg*ls] sweep).
     Swept on matpreview-conductor end-to-end (lane target 64/256/512/
     1024/2048): 0.81 / 1.16 / 1.43 / 1.57 / scoped-VMEM-OOM Mrays/s —
@@ -95,7 +100,7 @@ def _chunk_group(ls: int) -> int:
     # 17.06 MB with the phase-A guards (r4) — budget R * (cg*ls) at
     # 384k lanes (=> 768 sweep lanes at the default R=512; 896
     # still measured 16.01 MB inside the fused regen loop).
-    max_target = max(ls, (384 << 10) // max(ray_block(), 1))
+    max_target = max(ls, (384 << 10) // max(r, 1))
     raw = os.environ.get("MCPT_MARCH_GROUP")
     if raw is None:
         target = min(1024, max_target)
@@ -106,7 +111,7 @@ def _chunk_group(ls: int) -> int:
 
             warnings.warn(
                 f"MCPT_MARCH_GROUP={target} exceeds the scoped-VMEM budget "
-                f"at MCPT_MARCH_BLOCK={ray_block()}; clamping to "
+                f"at MCPT_MARCH_BLOCK={r}; clamping to "
                 f"{max_target}",
                 stacklevel=2,
             )
@@ -294,7 +299,7 @@ def _march_kernel(rays_ref, cmin_ref, cmax_ref, smin_ref, smax_ref,
     # the cg copies for group k+1 are issued before group k's triangle
     # tests, so exactly one group of copies is outstanding at every loop
     # boundary and the post-loop wait drains it unconditionally.
-    cg = _chunk_group(ls)
+    cg = _chunk_group(ls, r)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, lm), 1)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (r, cg * ls), 1)
 
@@ -514,9 +519,9 @@ def march_sweep(rays, cmin, cmax, tris, any_hit: bool = False,
         scratch_shapes=[
             pltpu.VMEM((1, lm), jnp.float32),   # ent
             # double-buffered chunk GROUPS + one DMA semaphore per copy
-            pltpu.VMEM((2, _chunk_group(ls), tris.shape[1], ls),
+            pltpu.VMEM((2, _chunk_group(ls, r), tris.shape[1], ls),
                        jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _chunk_group(ls))),
+            pltpu.SemaphoreType.DMA((2, _chunk_group(ls, r))),
         ],
         interpret=interpret,
     )(rays, cmin, cmax, smin, smax, tris)

@@ -767,7 +767,7 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         dimension=0, num_keys=1, is_stable=False,
     )
 
-    r = ray_block()
+    r = ray_block(geom.n_real_prims)
     g = -(-n // r)
     pad = g * r
 

@@ -41,18 +41,26 @@ CONFIGS = [
     ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml", 16, 4.0),
     ("classroom", "classroom/scene_v0.6.xml", 8, 3.5),
     ("dining-room", "dining-room/scene_v0.6.xml", 8, 3.5),
+    # archive-BDPT throughput on its headline scene (rays metric counts
+    # the camera subpath like the others; light-subpath work is extra,
+    # so this understates BDPT — stated for the table)
+    ("bdpt-caustic", "volumetric-caustic/no_medium.xml", 8, 3.5, None,
+     "bdpt"),
 ]
 
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, sys.argv[1])
 xml, res, spp, depth, avg_b = sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]), float(sys.argv[6])
+itype = sys.argv[7] if len(sys.argv) > 7 else ""
 import jax
 from mcpt_tpu.render.renderer import Renderer
 from mcpt_tpu.scene.parser import load_config
 cfg = load_config(xml)
 cfg.camera.width = cfg.camera.height = res
 cfg.integrator.depth_max = depth
+if itype:
+    cfg.integrator.itype = itype
 r = Renderer(cfg)
 import os as _os
 tile = int(_os.environ.get("MCPT_BENCH_TILE", 1 << 16))
@@ -84,14 +92,15 @@ def main():
     rows = []
     for cfg_row in CONFIGS:
         name, rel, depth, avg_b = cfg_row[:4]
-        res = cfg_row[4] if len(cfg_row) > 4 else args.res
+        res = (cfg_row[4] if len(cfg_row) > 4 and cfg_row[4] else args.res)
+        itype = cfg_row[5] if len(cfg_row) > 5 else ""
         if args.scene and args.scene != name:
             continue
         xml = os.path.join(SCENES, rel)
         try:
             out = subprocess.run(
                 [sys.executable, "-c", WORKER, REPO, xml, str(res),
-                 str(args.spp), str(depth), str(avg_b)],
+                 str(args.spp), str(depth), str(avg_b), itype],
                 capture_output=True, timeout=args.timeout, text=True,
             )
             line = next(

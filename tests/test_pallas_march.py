@@ -231,3 +231,18 @@ def test_dead_blocks_no_hits():
     np.testing.assert_array_equal(np.asarray(mixed.valid)[live],
                                   np.asarray(full.valid)[live])
     assert not bool(np.asarray(mixed.valid)[~live].any())
+
+
+def test_scene_size_dependent_defaults(monkeypatch):
+    """r4 measured defaults: chunk 256 + block 512 up to 64k prims;
+    chunk 64-doubling + block 256 above (docs/PERF.md round-4)."""
+    from mcpt_tpu.ops.pallas_march import ray_block
+
+    monkeypatch.delenv("MCPT_MARCH_BLOCK", raising=False)
+    assert ray_block(50_000) == 512
+    assert ray_block(65_536) == 512
+    assert ray_block(65_537) == 256
+    assert ray_block(300_000) == 256
+    assert ray_block(None) == 512
+    monkeypatch.setenv("MCPT_MARCH_BLOCK", "384")
+    assert ray_block(300_000) == 384

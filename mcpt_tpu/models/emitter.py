@@ -291,6 +291,13 @@ def build_envmap(pixels: np.ndarray, to_world: np.ndarray, tid: int) -> EnvMapDa
     sin_row = np.sin((np.arange(h) + 0.5) * np.pi / h).astype(np.float32)
     f = lum * sin_row[:, None]  # [H, W] importance
     f = np.maximum(f, 0.0)
+    if not float(f.sum()) > 0.0:
+        # all-black radiance (e.g. sunsky with skyScale=0: the sky half
+        # of the emitter is zero and only the sun bitmap lights the
+        # scene) — fall back to uniform-over-solid-angle importance so
+        # the alias build stays well-defined; every NEE draw then
+        # contributes exactly zero radiance with a valid pdf.
+        f = np.broadcast_to(sin_row[:, None], lum.shape).astype(np.float32)
     total = max(float(f.sum()), 1e-20)
 
     if f.size <= 4096:

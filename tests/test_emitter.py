@@ -405,3 +405,15 @@ class TestEnvmapFurnace:
         for rows, want in ((const, 0.5), (half, 0.5), (ramp, 0.8336)):
             got = self._center(self._scene(rows))
             assert got == pytest.approx(want, rel=0.04), (got, want)
+
+
+def test_envmap_all_black_radiance_does_not_crash():
+    """sunsky with skyScale=0 registers an all-zero sky bitmap; the
+    alias build must fall back to uniform importance instead of raising
+    (r4 regression found by the refbench sun-only probe)."""
+    import numpy as np
+
+    from mcpt_tpu.models.emitter import build_envmap
+
+    env = build_envmap(np.zeros((8, 16, 3), np.float32), np.eye(4, dtype=np.float32), 0)
+    assert np.isfinite(np.asarray(env.alias_tab)).all()

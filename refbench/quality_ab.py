@@ -9,6 +9,16 @@ acceptance artifacts (acceptance/*_clamp1_spp256_s8.npz).  Its PNG
 output is sRGB (image_io.cpp:25-53); both sides compare in display
 space (x^(1/2.2) of linear, like scripts/acceptance_render.py metrics).
 
+Reading the table: matpreview mean ratios cluster at 1.27-1.33 — the
+reference's envmap energy loss, proven analytically by the furnace
+gate (tests/test_emitter.py TestEnvmapFurnace, GOLDEN.md r4 update).
+The dielectric row's large relMSE is the reference's own black-pixel
+speckle inside the glass (depth-killed total-internal-reflection
+chains render (0,0,0) where this framework renders ~0.67; the relMSE
+denominator's +1e-3 amplifies exactly those pixels ~450x).  Sunsky
+scenes are excluded: the local binary overexposes them (BASELINE.md
+caveat).
+
     python refbench/quality_ab.py [--spp 256]
 """
 

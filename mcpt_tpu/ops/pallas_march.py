@@ -48,19 +48,20 @@ def ray_block(n_prims: int | None = None) -> int:
     """Rays per march block.  Smaller blocks shrink the per-block chunk
     corridor UNION (divergent regen wavefronts march the union, measured
     ~56 chunks at 512 vs ~7 for coherent rays) at the cost of more
-    blocks; larger blocks amortize phase A.  Default by scene size (r4
-    end-to-end sweep): > 64k prims -> 256 (classroom 0.86 -> 1.02
-    Mrays/s; the union shrinks faster than the per-block overhead
-    grows), else 512 (dragon measured slower at 256).
-    MCPT_MARCH_BLOCK overrides.  R is the LANE dimension of the
+    blocks; larger blocks amortize phase A.  Default 256 (r4 closing
+    sweep, AFTER the variadic-sort wrapper + 256-tri chunks landed:
+    conductor 2.46 -> 2.94, dielectric 2.05 -> 2.55, classroom 1.02,
+    dining 1.48 Mrays/s; dragon statistically flat 28.4 vs 28.1 — the
+    corridor-union shrink beats the per-block overhead everywhere once
+    the fixed costs fell).  MCPT_MARCH_BLOCK overrides.  R is the LANE dimension of the
     [G, 8, R] ray layout, so it must be a positive multiple of 128 (a
     misaligned lane extent fails the Mosaic verifier — traversal.py's
     DMA-extent note); invalid values are rounded up with a warning
     instead of crashing."""
     import os
 
-    default = 256 if (n_prims is not None and n_prims > (1 << 16)) else 512
-    raw = os.environ.get("MCPT_MARCH_BLOCK", str(default))
+    del n_prims  # kept for call-site stability; default no longer varies
+    raw = os.environ.get("MCPT_MARCH_BLOCK", "256")
     try:
         r = int(raw)
     except ValueError as e:

@@ -234,15 +234,13 @@ def test_dead_blocks_no_hits():
 
 
 def test_scene_size_dependent_defaults(monkeypatch):
-    """r4 measured defaults: chunk 256 + block 512 up to 64k prims;
-    chunk 64-doubling + block 256 above (docs/PERF.md round-4)."""
+    """r4 measured defaults: chunk 256 up to 64k prims / 64-doubling
+    above; block 256 globally (docs/PERF.md round-4 closing sweep)."""
     from mcpt_tpu.ops.pallas_march import ray_block
 
     monkeypatch.delenv("MCPT_MARCH_BLOCK", raising=False)
-    assert ray_block(50_000) == 512
-    assert ray_block(65_536) == 512
-    assert ray_block(65_537) == 256
+    assert ray_block(50_000) == 256
     assert ray_block(300_000) == 256
-    assert ray_block(None) == 512
+    assert ray_block(None) == 256
     monkeypatch.setenv("MCPT_MARCH_BLOCK", "384")
     assert ray_block(300_000) == 384

@@ -232,6 +232,43 @@ def _bsdf_eval(scene, hit, wi, wo):
 SHADOW_ALPHA_K = 4  # max masked/null crossings resolved per shadow ray
 
 
+def _use_origin_chunk(scene: SceneData) -> bool:
+    """Whether to sort continuation/shadow rays by origin-chunk keys.
+
+    OFF by default: measured end-to-end on matpreview-conductor the
+    chunk-major key is throughput-neutral on block corridor unions
+    (scripts/corridor_probe.py: sum|union| 4385 vs 4301 octori — the
+    union is direction-divergence-bound, not origin-bound) while the
+    extra [N] gather + loop carry cost ~10% (2.94 -> 2.66 Mrays/s).
+    Kept behind MCPT_COH=1 for experiments on other scenes."""
+    import os
+
+    from mcpt_tpu.ops.traversal import DENSE_MAX_PRIMS
+
+    if os.environ.get("MCPT_COH", "0") != "1":
+        return False
+    g = scene.geom
+    return (
+        g.march_chunk_of_prim is not None
+        and g.p0.shape[0] > DENSE_MAX_PRIMS
+    )
+
+
+def _origin_chunk(scene: SceneData, shit):
+    """SAH chunk id of the hit prim (-1 = miss/quadric): the coherence
+    key for rays ORIGINATING at this hit point — continuation and shadow
+    segments both start there, so sorting them by this id aligns march
+    blocks with the chunk partition itself (traversal._ray_sort_keys).
+    Returns None for scenes that don't use the march path."""
+    if not _use_origin_chunk(scene):
+        return None
+    coh = take_rows(scene.geom.march_chunk_of_prim, shit.prim)
+    ok = shit.valid
+    if scene.quad_kinds:
+        ok = ok & (shit.quad < 0)
+    return jnp.where(ok, coh, -1)
+
+
 def _nee_query_count(scene: SceneData) -> int:
     """Shadow queries one _direct_lighting call makes."""
     q = (1 if scene.n_emissive else 0) + len(scene.emitter_rows)
@@ -257,7 +294,8 @@ def nee_draw_count(scene: SceneData) -> int:
     return max(k, 1)
 
 
-def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi):
+def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi,
+                    coherence=None):
     """Occlusion along the segment o -> o + dist*d with stochastic alpha.
 
     The reference alpha-tests INSIDE both Intersect and IntersectAny
@@ -284,7 +322,8 @@ def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi):
 
     t_hi = jnp.where(geo_ok, dist - EPS_D, 0.0)
     if not scene.has_opacity:
-        return scene_any(scene, o, d, t_min=EPS_D, t_max=t_hi)
+        return scene_any(scene, o, d, t_min=EPS_D, t_max=t_hi,
+                         coherence=coherence)
 
     n = dist.shape[0]
     occ = jnp.zeros((n,), jnp.bool_)
@@ -293,7 +332,8 @@ def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi):
     g = scene.geom
     for k in range(SHADOW_ALPHA_K):
         h = scene_closest(
-            scene, o, d, t_min=t_lo, t_max=jnp.where(active, t_hi, 0.0)
+            scene, o, d, t_min=t_lo, t_max=jnp.where(active, t_hi, 0.0),
+            coherence=coherence,
         )
         valid = h.valid & active
         inst = take_rows(g.inst_id, h.prim)
@@ -325,7 +365,7 @@ def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi):
 
 
 def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
-              xi_shadow):
+              xi_shadow, coherence=None):
     """Direct lighting from the sampled area light with MIS
     (csrt EvaluateDirectLightPath, path.cpp:185-236)."""
     pos_l, n_l, radiance, pdf_area = _sample_area_light(scene, xi0, xi1, xi2)
@@ -345,7 +385,7 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
     # patch — surface-origin rays share chunk corridors, light-origin
     # rays fan out over the whole scene.
     occluded = shadow_occluded(
-        scene, hit.position, -wi, geo_ok, dist, xi_shadow
+        scene, hit.position, -wi, geo_ok, dist, xi_shadow, coherence
     )
     ok = geo_ok & ~occluded
 
@@ -363,16 +403,17 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow=None):
+def _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow=None,
+               coherence=None):
     """Surface-origin shadow ray along -wi (path.cpp:151-156)."""
     occluded = shadow_occluded(
-        scene, hit.position, -wi, geo_ok, dist, xi_shadow
+        scene, hit.position, -wi, geo_ok, dist, xi_shadow, coherence
     )
     return geo_ok & ~occluded
 
 
 def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
-                     differentiable: bool = False):
+                     differentiable: bool = False, coherence=None):
     """All-emitter NEE: every analytic emitter + one CDF-sampled area
     light + the escape emitter, each against its own shadow ray
     (csrt EvaluateDirectLightPath, path.cpp:138-236)."""
@@ -396,7 +437,8 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
 
     if scene.n_emissive:
         L = L + _nee_area(
-            scene, hit, wo, alive, xi[0], xi[1], xi[2], xi_shadow()
+            scene, hit, wo, alive, xi[0], xi[1], xi[2], xi_shadow(),
+            coherence,
         )
         cursor = 3
 
@@ -422,7 +464,8 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
         else:
             continue
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow())
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow(),
+                        coherence)
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         # harsh delta light: no MIS, no pdf division (path.cpp:170-173)
         L = L + jnp.where((ok & f_valid)[..., None], rad * f, 0.0)
@@ -440,7 +483,8 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
                 xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow())
+        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow(),
+                        coherence)
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         w_mis = mis_weight(pdf, pdf_eval)
         contrib = (
@@ -533,13 +577,18 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     n_nee = nee_draw_count(scene)
     pdf_rr_rcp = 1.0 / integ.pdf_rr
 
+    use_coh = _use_origin_chunk(scene)
+    coh0 = _origin_chunk(scene, ghit) if use_coh else jnp.full(
+        (n,), -1, jnp.int32
+    )
+
     def cond(state):
         dep = state[0]
-        alive = state[-1]
+        alive = state[7]
         return (dep < integ.depth_max) & jnp.any(alive)
 
     def body(state):
-        dep, L, beta, wo, hit, pdf_mis, seed, alive = state
+        dep, L, beta, wo, hit, pdf_mis, seed, alive, coh = state
 
         # --- 1. Russian roulette with immediate compensation
         seed, rr_u = rng.random_float(seed)
@@ -550,7 +599,8 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- 2. NEE over every emitter (scene-static draw count)
         seed, xi_nee = rng.random_floats(seed, n_nee)
         L = L + beta * _direct_lighting(
-            scene, hit, wo, alive, xi_nee, differentiable
+            scene, hit, wo, alive, xi_nee, differentiable,
+            coherence=coh if use_coh else None,
         )
 
         # --- 3. BSDF sample (path.cpp:66-74)
@@ -581,10 +631,12 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         o2 = hit.position
         d2 = -wi
         ghit2 = scene_closest(
-            scene, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0)
+            scene, o2, d2, t_max=jnp.where(alive, MAX_FLOAT, 0.0),
+            coherence=coh if use_coh else None,
         )
         hit2 = interpolate_hit(scene, ghit2, o2, d2)
         hit2, seed = apply_opacity(scene, hit2, seed)
+        coh = _origin_chunk(scene, ghit2) if use_coh else coh
         # --- escape -> envmap/constant with MIS (path.cpp:81-93)
         if scene.env_kind != "none":
             esc = alive & ~hit2.valid
@@ -619,12 +671,14 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         # --- one-sided backface absorbs (path.cpp:99-104)
         alive = alive & ~backface2
 
-        return dep + 1, L, beta, wi, hit2, pdf_mis, seed, alive
+        return dep + 1, L, beta, wi, hit2, pdf_mis, seed, alive, coh
 
     # pdf_mis starts effectively-delta (the camera ray) so emitters seen
     # through leading null boundaries get full weight
     pdf_mis0 = jnp.full((n,), 1e12, jnp.float32)
-    state = (jnp.int32(1), L, beta0, wo0, hit, pdf_mis0, seed, alive0)
+    state = (
+        jnp.int32(1), L, beta0, wo0, hit, pdf_mis0, seed, alive0, coh0
+    )
     if differentiable:
         def scan_body(state, _):
             return body(state), None
@@ -632,7 +686,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         state, _ = lax.scan(scan_body, state, None, length=integ.depth_max - 1)
     else:
         state = lax.while_loop(cond, body, state)
-    return state[1], state[-2]
+    return state[1], state[6]
 
 
 def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
@@ -684,6 +738,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
             Ls = jnp.minimum(Ls, integ.sample_clamp)
         return L + jnp.where(mask[..., None], Ls, 0.0)
 
+    use_coh = _use_origin_chunk(scene)
     state0 = (
         jnp.zeros((n,), jnp.int32),            # work_k: next sample index
         jnp.zeros((n, 3), jnp.float32),        # L (sum over folded samples)
@@ -695,6 +750,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         rng.pixel_seed(pixel_idx, base),       # seed (replaced at regen)
         jnp.zeros((n,), jnp.bool_),            # alive
         jnp.zeros((n,), jnp.int32),            # vert: hits shaded so far
+        jnp.full((n,), -1, jnp.int32),         # coh: origin chunk id
     )
 
     def cond(st):
@@ -702,7 +758,8 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         return jnp.any(alive | (work_k < spp))
 
     def body(st):
-        work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert = st
+        (work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert,
+         coh) = st
 
         # --- regenerate: dead lanes with samples left start the next one
         fresh = ~alive & (work_k < spp)
@@ -727,13 +784,18 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         # --- trace (dead lanes get t_max = 0: the traversal idles them;
         # fresh camera segments and bounce continuations sort into
         # separate march blocks via the class bit — a mixed block
-        # marches the union of both classes' chunk corridors)
+        # marches the union of both classes' chunk corridors; bounce
+        # continuations additionally carry their origin's SAH chunk id
+        # so blocks align with the march partition)
+        coh = jnp.where(fresh, -1, coh)
         ghit = scene_closest(
             scene, o, d, t_max=jnp.where(alive, MAX_FLOAT, 0.0),
             sort_bias=(~fresh).astype(jnp.int32),
+            coherence=coh if use_coh else None,
         )
         hit = interpolate_hit(scene, ghit, o, d)
         hit, seed = apply_opacity(scene, hit, seed)
+        coh = _origin_chunk(scene, ghit) if use_coh else coh
         vert = vert + 1
         primary = vert == 1  # this trace was a camera segment
 
@@ -787,9 +849,13 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         alive = alive & (~need_rr | (rr_u < integ.pdf_rr))
         beta = jnp.where((alive & need_rr)[..., None], beta * pdf_rr_rcp, beta)
 
-        # --- 2. NEE over every emitter
+        # --- 2. NEE over every emitter (shadow segments originate at
+        # the hit point -> same chunk-coherence key as the continuation)
         seed, xi_nee = rng.random_floats(seed, n_nee)
-        L_samp = L_samp + beta * _direct_lighting(scene, hit, wi_in, alive, xi_nee)
+        L_samp = L_samp + beta * _direct_lighting(
+            scene, hit, wi_in, alive, xi_nee,
+            coherence=coh if use_coh else None,
+        )
 
         # --- 3. BSDF sample -> next segment
         seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
@@ -815,7 +881,8 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         o = hit.position
         d = -wi
 
-        return (work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert)
+        return (work_k, L, L_samp, beta, o, d, pdf_mis, seed, alive, vert,
+                coh)
 
     state = lax.while_loop(cond, body, state0)
     work_k, L, L_samp = state[0], state[1], state[2]

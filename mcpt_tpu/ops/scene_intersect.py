@@ -32,9 +32,9 @@ class SceneHit(NamedTuple):
 
 
 def scene_closest(scene, o, d, t_min=None, t_max=None,
-                  sort_bias=None) -> SceneHit:
+                  sort_bias=None, coherence=None) -> SceneHit:
     g = intersect_closest(scene.geom, o, d, t_min=t_min, t_max=t_max,
-                          sort_bias=sort_bias)
+                          sort_bias=sort_bias, coherence=coherence)
     if not scene.quad_kinds:
         return SceneHit(
             valid=g.valid, t=g.t, prim=g.prim, v=g.v, w=g.w,
@@ -60,8 +60,9 @@ def scene_closest(scene, o, d, t_min=None, t_max=None,
     )
 
 
-def scene_any(scene, o, d, t_min=None, t_max=None):
-    occ = intersect_any(scene.geom, o, d, t_min=t_min, t_max=t_max)
+def scene_any(scene, o, d, t_min=None, t_max=None, coherence=None):
+    occ = intersect_any(scene.geom, o, d, t_min=t_min, t_max=t_max,
+                        coherence=coherence)
     if not scene.quad_kinds:
         return occ
     from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT

@@ -366,7 +366,7 @@ def _morton10(x):
     return x
 
 
-def _ray_sort_keys(geom, o, d, mode: str | None = None):
+def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
     """Coherence keys so ray blocks share chunks/subtrees (the reference
     Morton-orders its CPU patches for the same reason,
     renderer.cpp:24-60).  Modes (MCPT_MARCH_SORT):
@@ -378,6 +378,19 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None):
       mixes camera/bounce/shadow rays whose ORIGINS cluster but whose
       directions span the sphere; direction-major keys keep a block's
       chunk-corridor union small.
+
+    ``coherence``: optional [N] int32, the SAH chunk index the ray's
+    origin lies in (-1 = unknown).  Lanes with a chunk use a chunk-major
+    key — chunk id (11 bits), direction octant (3), origin Morton (15) —
+    so blocks align with the march partition itself: rays that START in
+    the same chunk share the near end of their corridors, which is where
+    nearest-first pruning concentrates the work (r5 measurement:
+    conductor 2.94 -> see docs/PERF.md).
+
+    Bit budget: every geometric key fits bits 0-28 (asserted by masking
+    below); the wrapper ORs the coherence-class bit at 29 and the
+    dead-lane bit at 30 on top.  A future mode must stay inside 29 bits
+    or block packing silently degrades (ADVICE r4).
     """
     import os
 
@@ -393,6 +406,7 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None):
         | (_morton10(qi[..., 1]) << 1)
         | _morton10(qi[..., 2])
     )
+    geo_mask = jnp.uint32((1 << 29) - 1)  # 29-bit geometric-key budget
     if mode == "dirori":
         dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
         di = (dq * 15.0).astype(jnp.uint32)  # 4 bits/axis
@@ -401,22 +415,37 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None):
             | (_morton10(di[..., 1]) << 1)
             | _morton10(di[..., 2])
         )  # 12 significant bits
-        return ((dmorton << 15) | (morton >> 15)).astype(jnp.int32)
-    if mode == "octdir":
+        keys = ((dmorton << 15) | (morton >> 15)) & geo_mask
+    elif mode == "octdir":
         # 2 bits per axis of direction (sign + coarse magnitude), then
         # origin Morton — halves a block's direction cone vs `octori`
         # while keeping most origin locality
         dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
         di = (dq * 3.999).astype(jnp.uint32)  # 2 bits/axis
         dir6 = (di[..., 0] << 4) | (di[..., 1] << 2) | di[..., 2]
-        return ((dir6 << 23) | (morton >> 7)).astype(jnp.int32)
-    octant = (
-        (d[..., 0] >= 0).astype(jnp.uint32) * 4
-        + (d[..., 1] >= 0).astype(jnp.uint32) * 2
-        + (d[..., 2] >= 0).astype(jnp.uint32)
-    )
-    # keep keys in int32-sortable range: octant(3) + morton>>4 (26 bits)
-    return ((octant << 26) | (morton >> 4)).astype(jnp.int32)
+        keys = ((dir6 << 23) | (morton >> 7)) & geo_mask
+    else:
+        octant = (
+            (d[..., 0] >= 0).astype(jnp.uint32) * 4
+            + (d[..., 1] >= 0).astype(jnp.uint32) * 2
+            + (d[..., 2] >= 0).astype(jnp.uint32)
+        )
+        # keep keys in int32-sortable range: octant(3) + morton>>4 (26)
+        keys = ((octant << 26) | (morton >> 4)) & geo_mask
+    if coherence is not None:
+        coh = jnp.asarray(coherence, jnp.int32)
+        octant = (
+            (d[..., 0] >= 0).astype(jnp.uint32) * 4
+            + (d[..., 1] >= 0).astype(jnp.uint32) * 2
+            + (d[..., 2] >= 0).astype(jnp.uint32)
+        )
+        ck = (
+            (jnp.clip(coh, 0, 2047).astype(jnp.uint32) << 18)
+            | (octant << 15)
+            | (morton >> 15)
+        ) & geo_mask
+        keys = jnp.where(coh >= 0, ck, keys)
+    return keys.astype(jnp.int32)
 
 
 def _intersect_packet(geom, o, d, t_min, t_max, any_hit: bool):
@@ -627,7 +656,8 @@ def _detached(fn):
 
 def _large_strategy() -> str:
     """Large-scene (> DENSE_MAX_PRIMS) traversal: 'march' (default —
-    per-lane nearest-chunk march, see _intersect_march) or 'packet'
+    per-lane nearest-chunk march, see _intersect_march), 'pairs'
+    (pair-scheduled kernel, see _intersect_pairs) or 'packet'
     (MCPT_TRAVERSAL=packet, the block-stack traversal)."""
     import os
 
@@ -729,7 +759,8 @@ def _use_pallas_march() -> bool:
 
 
 def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
-                            interpret=False, sort_bias=None):
+                            interpret=False, sort_bias=None,
+                            coherence=None):
     """Block-local VMEM march (ops.pallas_march).  Rays are sorted by
     direction-octant + origin-Morton keys so each RAY_BLOCK shares
     chunks (same coherence argument as _intersect_packet).
@@ -739,7 +770,10 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     bounce=1 so freshly regenerated camera rays (one origin, narrow
     cone) never share a block with divergent bounce continuations; a
     mixed block marches the UNION of its rays' chunk corridors
-    (docs/PERF.md: ~56 chunks mixed vs ~7 coherent)."""
+    (docs/PERF.md: ~56 chunks mixed vs ~7 coherent).
+
+    `coherence`: optional [N] int32 origin chunk id (-1 unknown) — see
+    _ray_sort_keys."""
     from mcpt_tpu.ops.pallas_march import CHUNK_TILE, march_sweep, ray_block
 
     n = o.shape[0]
@@ -750,7 +784,7 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     # sort LAST so they pack into blocks whose phase-B bound is zero —
     # interleaved they dilute live blocks, which still march their full
     # chunk union for fewer useful lanes
-    keys = _ray_sort_keys(geom, o, d) | jnp.where(
+    keys = _ray_sort_keys(geom, o, d, coherence=coherence) | jnp.where(
         t_max <= t_min, jnp.int32(1 << 30), jnp.int32(0)
     )
     if sort_bias is not None:
@@ -849,25 +883,205 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     )
 
 
+def _pair_tris_pack(geom):
+    """[Lm, 16, ls_pad] chunk-triangle pack for the pair kernel: the
+    march pack's 12 attribute rows padded to 16 and the chunk size
+    padded to a 128 multiple so each per-chunk DMA is whole (8, 128)
+    f32 tiles (pallas_march's extent rule; 12-row copies FAULT the
+    chip — scripts/march_fault_probe.py)."""
+    ls = geom.march_leaf
+    ls_pad = -(-ls // 128) * 128
+    tris = geom.march_tris  # [Lm, ls, 12]
+    if ls_pad != ls:
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((tris.shape[0], ls_pad - ls, 12), tris.dtype)],
+            axis=1,
+        )
+    tris = tris.swapaxes(1, 2)  # [Lm, 12, ls_pad]
+    return jnp.concatenate(
+        [tris, jnp.zeros((tris.shape[0], 4, ls_pad), tris.dtype)], axis=1
+    )  # [Lm, 16, ls_pad]
+
+
+def _intersect_pairs(geom, o, d, t_min, t_max, any_hit, interpret=False):
+    """Pair-scheduled traversal (ops.pallas_pairs): expand each ray into
+    its corridor's (ray, chunk) pairs, sort pairs by chunk, sweep each
+    chunk once against exactly the pairs that want it.  Removes the
+    block march's corridor-UNION waste on divergent wavefronts (~6x on
+    matpreview bounce/shadow rays — pallas_pairs docstring).
+
+    Rays whose corridor exceeds the K pair slots (p99.9 tail: escaping
+    diagonal rays) fall back to one mostly-dead block-march call whose
+    live lanes carry ONLY those rays."""
+    from mcpt_tpu.ops.pallas_pairs import (
+        CORRIDOR_TILE, corridor_sweep, pair_block, pair_k, pair_sweep,
+    )
+
+    n = o.shape[0]
+    lm = geom.n_march_leaves
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    live = t_max > t_min
+    k = pair_k()
+
+    # --- corridor extraction (Pallas kernel A: VMEM-resident slab +
+    # K-pop, zero [N, Lm] HBM round-trips) -----------------------------
+    r_a = 512
+    g_a = -(-n // r_a)
+    pad_a = g_a * r_a
+
+    def pad1a(a, fill=0.0):
+        return (
+            a if pad_a == n
+            else jnp.concatenate([a, jnp.full((pad_a - n,), fill, a.dtype)])
+        )
+
+    rays_a = jnp.stack(
+        [
+            pad1a(o[:, 0]), pad1a(o[:, 1]), pad1a(o[:, 2]),
+            pad1a(d[:, 0]), pad1a(d[:, 1]), pad1a(d[:, 2], fill=1.0),
+            pad1a(t_min), pad1a(t_max, fill=0.0),
+        ]
+    ).reshape(8, g_a, r_a).swapaxes(0, 1)  # [Ga, 8, Ra]
+    lm_pad = -(-lm // CORRIDOR_TILE) * CORRIDOR_TILE
+
+    def pad_cc(a):
+        ext = jnp.full((lm_pad - lm, 3), 3.0e37, a.dtype)
+        return jnp.concatenate([a, ext]) if lm_pad != lm else a
+
+    out_a = corridor_sweep(
+        rays_a, pad_cc(geom.march_min), pad_cc(geom.march_max), k=k,
+        interpret=interpret,
+    )  # [Ga, 16, Ra]
+    slots = jnp.moveaxis(out_a[:, :k, :], 1, 2).reshape(pad_a, k)[:n]
+    overflow = (out_a[:, k, :].reshape(pad_a)[:n] > 0.0) & live
+    # overflow rays route ENTIRELY to the fallback: kill their pairs
+    pc = jnp.where(
+        overflow[:, None] | (slots >= lm), float(lm), slots
+    ).astype(jnp.int32).reshape(n * k)
+
+    def rep(a):
+        return jnp.broadcast_to(a[:, None], (n, k)).reshape(n * k)
+
+    dead = pc >= lm
+    p_tmax = jnp.where(dead, 0.0, rep(t_max))
+    # ONE variadic sort by chunk id (dead pairs = lm sort last); the
+    # iota operand recovers the inverse permutation
+    pc_s, order, o0, o1, o2, d0, d1, d2, tmin_s, tmax_s = lax.sort(
+        (pc, jnp.arange(n * k, dtype=jnp.int32),
+         rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]),
+         rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]),
+         rep(t_min), p_tmax),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+
+    r = pair_block()
+    g = -(-(n * k) // r)
+    pad = g * r
+
+    def pad1(a, fill=0.0):
+        return (
+            a if pad == n * k
+            else jnp.concatenate([a, jnp.full((pad - n * k,), fill, a.dtype)])
+        )
+
+    zeros = jnp.zeros((pad,), jnp.float32)
+    rays = jnp.stack(
+        [
+            pad1(o0), pad1(o1), pad1(o2),
+            pad1(d0), pad1(d1), pad1(d2, fill=1.0),
+            pad1(tmin_s), pad1(tmax_s, fill=0.0),
+            pad1(pc_s.astype(jnp.float32), fill=float(lm)),
+            zeros, zeros, zeros, zeros, zeros, zeros, zeros,
+        ]
+    ).reshape(16, g, r).swapaxes(0, 1)  # [G, 16, R]
+
+    tris = _pair_tris_pack(geom)
+    t_p, prim_p, v_p, w_p, flags_p = pair_sweep(
+        rays, tris, any_hit=any_hit, interpret=interpret
+    )
+    # inverse permutation via one sort keyed on the recovered order
+    _, t_p, prim_p, v_p, w_p, flags_p = lax.sort(
+        (order,) + tuple(
+            x.reshape(pad)[: n * k] for x in (t_p, prim_p, v_p, w_p, flags_p)
+        ),
+        dimension=0, num_keys=1, is_stable=False,
+    )
+
+    # --- K-way reduce per ray (each pair tested exactly one chunk) ----
+    def byray(a):
+        return a.reshape(n, k)
+
+    t_p = byray(t_p)
+    valid_p = byray(flags_p) >= 2.0
+    tm = jnp.min(jnp.where(valid_p, t_p, jnp.inf), axis=1)  # [N]
+    iota_k = lax.broadcasted_iota(jnp.int32, (n, k), 1)
+    kw = jnp.min(
+        jnp.where(valid_p & (t_p == tm[:, None]), iota_k, k), axis=1
+    )
+    one_hot = iota_k == kw[:, None]
+
+    def pick(a, cast=None):
+        out = jnp.sum(jnp.where(one_hot, byray(a), 0), axis=1)
+        return out
+
+    valid_r = jnp.isfinite(tm)
+    t_r = jnp.where(valid_r, tm, t_max)
+    prim_r = pick(prim_p)
+    v_r = pick(v_p)
+    w_r = pick(w_p)
+    neg_r = pick(byray(flags_p) % 2.0) > 0.5
+
+    # --- overflow fallback: block march with only-overflow lanes live -
+    fb_tmax = jnp.where(overflow, t_max, 0.0)
+    fb = _intersect_march_pallas(
+        geom, o, d, t_min, fb_tmax, any_hit, interpret=interpret
+    )
+    take_fb = fb.valid
+    return GeomHit(
+        valid=valid_r | take_fb,
+        t=jnp.where(take_fb, fb.t, t_r),
+        prim=jnp.where(take_fb, fb.prim, prim_r),
+        v=jnp.where(take_fb, fb.v, v_r),
+        w=jnp.where(take_fb, fb.w, w_r),
+        inside=jnp.where(take_fb, fb.inside, neg_r),
+    )
+
+
 _march_pallas_closest = _detached(
-    lambda geom, o, d, t_min, t_max, sort_bias: _intersect_march_pallas(
-        geom, o, d, t_min, t_max, any_hit=False, sort_bias=sort_bias
+    lambda geom, o, d, t_min, t_max, sort_bias, coherence:
+    _intersect_march_pallas(
+        geom, o, d, t_min, t_max, any_hit=False, sort_bias=sort_bias,
+        coherence=coherence,
     )
 )
 _march_pallas_any = _detached(
-    lambda geom, o, d, t_min, t_max: _intersect_march_pallas(
+    lambda geom, o, d, t_min, t_max, coherence: _intersect_march_pallas(
+        geom, o, d, t_min, t_max, any_hit=True, coherence=coherence
+    )
+)
+_pairs_closest = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_pairs(
+        geom, o, d, t_min, t_max, any_hit=False
+    )
+)
+_pairs_any = _detached(
+    lambda geom, o, d, t_min, t_max: _intersect_pairs(
         geom, o, d, t_min, t_max, any_hit=True
     )
 )
 
 
-def intersect_closest(geom, o, d, t_min=None, t_max=None, sort_bias=None):
+def intersect_closest(geom, o, d, t_min=None, t_max=None, sort_bias=None,
+                      coherence=None):
     """Closest-hit traversal over the whole wavefront.
 
     geom: a Geometry pytree (scene.data.Geometry).
     o, d: [N, 3] rays.  Returns :class:`GeomHit`.
     sort_bias: optional [N] int32 coherence-class hint (march path only —
     see _intersect_march_pallas).
+    coherence: optional [N] int32 origin chunk id, -1 unknown (march
+    path only — see _ray_sort_keys).
     """
     from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
 
@@ -879,14 +1093,19 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None, sort_bias=None):
         if _use_pallas_dense():
             return _intersect_dense_pallas(geom, o, d, t_min, t_max, False)
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
-    if _large_strategy() == "packet":
+    strategy = _large_strategy()
+    if strategy == "packet":
         return _packet_closest(geom, o, d, t_min, t_max)
+    if strategy == "pairs" and _use_pallas_march():
+        return _pairs_closest(geom, o, d, t_min, t_max)
     if _use_pallas_march():
-        return _march_pallas_closest(geom, o, d, t_min, t_max, sort_bias)
+        return _march_pallas_closest(
+            geom, o, d, t_min, t_max, sort_bias, coherence
+        )
     return _march_closest(geom, o, d, t_min, t_max)
 
 
-def intersect_any(geom, o, d, t_min=None, t_max=None):
+def intersect_any(geom, o, d, t_min=None, t_max=None, coherence=None):
     """Occlusion query; returns [N] bool."""
     from mcpt_tpu.ops.math import EPSILON_DISTANCE, MAX_FLOAT
 
@@ -900,10 +1119,13 @@ def intersect_any(geom, o, d, t_min=None, t_max=None):
                 geom, o, d, t_min, t_max, True
             ).valid
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
-    if _large_strategy() == "packet":
+    strategy = _large_strategy()
+    if strategy == "packet":
         return _packet_any(geom, o, d, t_min, t_max).valid
+    if strategy == "pairs" and _use_pallas_march():
+        return _pairs_any(geom, o, d, t_min, t_max).valid
     if _use_pallas_march():
-        return _march_pallas_any(geom, o, d, t_min, t_max).valid
+        return _march_pallas_any(geom, o, d, t_min, t_max, coherence).valid
     return _march_any(geom, o, d, t_min, t_max).valid
 
 

@@ -63,6 +63,11 @@ class Geometry:
     n_real_prims: int = flax.struct.field(pytree_node=False)
     n_march_leaves: int = flax.struct.field(pytree_node=False, default=1)
     march_leaf: int = flax.struct.field(pytree_node=False, default=1)
+    # chunk index of each sorted prim (padding prims -> 0): lets the
+    # integrator sort continuation/shadow rays by the SAH chunk their
+    # ORIGIN lies in, so a march block's chunk-corridor union collapses
+    # toward its per-ray corridor (traversal._ray_sort_keys coherence)
+    march_chunk_of_prim: jnp.ndarray | None = None  # [P] int32
 
 
 def _sah_chunks(cent, tmin, tmax, leaf, nbins=16):
@@ -265,12 +270,14 @@ def commit_geometry(
     march_tris = np.zeros((n_march, march_leaf, 12), np.float32)
     march_min = np.full((n_march, 3), 3.0e37, np.float32)  # empty = far point
     march_max = np.full((n_march, 3), 3.0e37, np.float32)
+    chunk_of_prim = np.zeros(pos_s.shape[0], np.int32)  # padding prims -> 0
     for j, ix in enumerate(chunks):
         rows = flat_packed[ix]
         rows[:, 10] = ix.astype(np.float32)  # global prim id (exact < 2^24)
         march_tris[j, : ix.size] = rows
         march_min[j] = s_min[ix].min(axis=0)
         march_max[j] = s_max[ix].max(axis=0)
+        chunk_of_prim[ix] = j
 
     return Geometry(
         p0=jnp.asarray(pos_s[:, 0]),
@@ -302,4 +309,5 @@ def commit_geometry(
         n_real_prims=p,
         n_march_leaves=n_march,
         march_leaf=march_leaf,
+        march_chunk_of_prim=jnp.asarray(chunk_of_prim),
     )

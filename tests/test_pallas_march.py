@@ -244,3 +244,42 @@ def test_scene_size_dependent_defaults(monkeypatch):
     assert ray_block(None) == 256
     monkeypatch.setenv("MCPT_MARCH_BLOCK", "384")
     assert ray_block(300_000) == 384
+
+
+def test_coherence_keys_identical_results():
+    """Origin-chunk coherence keys (r5) only permute block packing — the
+    per-ray results must be bit-identical with any coherence vector."""
+    import jax
+
+    geom = _geom(n_tris=700, seed=61)
+    o, d = random_rays(512, seed=63)
+    rs = np.random.RandomState(65)
+    coh = jnp.asarray(
+        rs.randint(-1, geom.n_march_leaves, size=512), jnp.int32
+    )
+    base = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                   interpret=True)
+    keyed = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, False,
+                                    interpret=True, coherence=coh)
+    for a, b in zip(jax.tree_util.tree_leaves(base),
+                    jax.tree_util.tree_leaves(keyed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # any-hit variant too
+    base_a = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, True,
+                                     interpret=True)
+    keyed_a = _intersect_march_pallas(geom, o, d, 1e-4, 3.4e38, True,
+                                      interpret=True, coherence=coh)
+    np.testing.assert_array_equal(np.asarray(base_a.valid),
+                                  np.asarray(keyed_a.valid))
+
+
+def test_march_chunk_of_prim_matches_pack():
+    """march_chunk_of_prim inverts the chunk pack's prim-id channel."""
+    geom = _geom(n_tris=400, seed=71)
+    mt = np.asarray(geom.march_tris)
+    cop = np.asarray(geom.march_chunk_of_prim)
+    for j in range(geom.n_march_leaves):
+        rows = mt[j]
+        real = rows[:, 3:9].any(axis=1)  # non-degenerate edges
+        pids = rows[real, 10].astype(np.int64)
+        assert (cop[pids] == j).all()

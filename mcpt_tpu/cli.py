@@ -44,6 +44,13 @@ def main(argv=None):
         help="live progressive preview over HTTP on PORT (the reference's "
              "GLUT viewer, reimagined for a headless TPU host)",
     )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KNOB=VALUE",
+        dest="perf_sets",
+        help="performance knob override (e.g. --set march_block=512 "
+             "--set traversal=pairs); becomes the MCPT_* env default — "
+             "same tier as XML <default name=\"mcpt.*\"> entries",
+    )
     args = ap.parse_args(argv)
 
     from mcpt_tpu.render.renderer import Renderer
@@ -60,6 +67,11 @@ def main(argv=None):
         config.camera.spp = args.spp
     if args.depth_max:
         config.integrator.depth_max = args.depth_max
+    for kv in args.perf_sets:
+        if "=" not in kv:
+            ap.error(f"--set expects KNOB=VALUE, got {kv!r}")
+        key, _, value = kv.partition("=")
+        config.perf[key.strip()] = value.strip()
 
     output = args.output
     if output is None:

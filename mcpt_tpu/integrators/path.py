@@ -229,7 +229,13 @@ def _bsdf_eval(scene, hit, wi, wo):
     )
 
 
-SHADOW_ALPHA_K = 4  # max masked/null crossings resolved per shadow ray
+# Max masked/null crossings resolved per shadow ray; deeper stacks pass
+# unoccluded (documented bounded-depth deviation — no shipped scene
+# stacks > 4 masked occluders; tests/test_features.py pins the boundary
+# behavior).  MCPT_SHADOW_ALPHA_K raises it for stacked-foliage scenes.
+SHADOW_ALPHA_K = max(1, int(__import__("os").environ.get(
+    "MCPT_SHADOW_ALPHA_K", "4"
+)))
 
 
 def _use_origin_chunk(scene: SceneData) -> bool:
@@ -364,10 +370,13 @@ def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi,
     return occ
 
 
-def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
-              xi_shadow, coherence=None):
-    """Direct lighting from the sampled area light with MIS
-    (csrt EvaluateDirectLightPath, path.cpp:185-236)."""
+def _nee_area_query(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1,
+                    xi2):
+    """Sampled-area-light NEE query WITHOUT the occlusion test: returns
+    (wi, dist, geo_ok, contrib-if-unoccluded) — csrt
+    EvaluateDirectLightPath (path.cpp:185-236) with the shadow ray
+    factored out so callers can batch it (shade_regen_batched) or run
+    the stochastic-alpha walk (_direct_lighting)."""
     pos_l, n_l, radiance, pdf_area = _sample_area_light(scene, xi0, xi1, xi2)
     d_vec = hit.position - pos_l
     dist = jnp.sqrt(jnp.maximum(dot(d_vec, d_vec), 1e-20))
@@ -377,20 +386,7 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
     cos_surf = dot(-wi, hit.normal)
     geo_ok = (cos_prime >= EPSILON_FLOAT) & (cos_surf >= EPSILON_FLOAT) & alive
 
-    # Shadow segment surface -> light (the reference traces light ->
-    # surface, path.cpp:199-203; occlusion of the segment is symmetric).
-    # Direction matters for MARCH BLOCK coherence: the traversal sorts
-    # rays by direction-octant + origin-Morton, and a wavefront's bounce
-    # vertices are Morton-tight while the sampled light is one small
-    # patch — surface-origin rays share chunk corridors, light-origin
-    # rays fan out over the whole scene.
-    occluded = shadow_occluded(
-        scene, hit.position, -wi, geo_ok, dist, xi_shadow, coherence
-    )
-    ok = geo_ok & ~occluded
-
     pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
-    ok = ok & f_valid
 
     pdf_direct = pdf_area * (dist * dist) / jnp.maximum(cos_prime, 1e-12)
     w_mis = mis_weight(pdf_direct, pdf_eval)
@@ -400,7 +396,9 @@ def _nee_area(scene: SceneData, hit: HitAttrs, wo, alive, xi0, xi1, xi2,
         * f
         / jnp.maximum(pdf_direct, 1e-12)[..., None]
     )
-    return jnp.where(ok[..., None], contrib, 0.0)
+    return wi, dist, geo_ok, jnp.where(
+        (geo_ok & f_valid)[..., None], contrib, 0.0
+    )
 
 
 def _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow=None,
@@ -412,34 +410,20 @@ def _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow=None,
     return geo_ok & ~occluded
 
 
-def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
-                     differentiable: bool = False, coherence=None):
-    """All-emitter NEE: every analytic emitter + one CDF-sampled area
-    light + the escape emitter, each against its own shadow ray
-    (csrt EvaluateDirectLightPath, path.cpp:138-236)."""
-    n = wo.shape[0]
-    L = jnp.zeros((n, 3), jnp.float32)
+def _nee_queries(scene: SceneData, hit: HitAttrs, wo, alive, xi,
+                 differentiable: bool = False):
+    """All-emitter NEE with the occlusion tests factored out: returns a
+    list of (wi, dist, geo_ok, contrib-if-unoccluded) — one per shadow
+    query in _nee_query_count order (csrt EvaluateDirectLightPath,
+    path.cpp:138-236).  Consumes the leading nee_draw_count draws of xi
+    (the stochastic-alpha tail, if any, belongs to the caller)."""
+    queries = []
     cursor = 0
-    # stochastic-alpha draws live at the tail of xi: query j consumes
-    # xi[s_base + j*K : s_base + (j+1)*K] (layout fixed by nee_draw_count)
-    s_base = nee_draw_count(scene) - (
-        SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
-    )
-    s_query = 0
-
-    def xi_shadow():
-        nonlocal s_query
-        if not scene.has_opacity:
-            return None
-        lo = s_base + s_query * SHADOW_ALPHA_K
-        s_query += 1
-        return xi[lo : lo + SHADOW_ALPHA_K]
 
     if scene.n_emissive:
-        L = L + _nee_area(
-            scene, hit, wo, alive, xi[0], xi[1], xi[2], xi_shadow(),
-            coherence,
-        )
+        queries.append(_nee_area_query(
+            scene, hit, wo, alive, xi[0], xi[1], xi[2]
+        ))
         cursor = 3
 
     for row, etype in scene.emitter_rows:
@@ -464,11 +448,10 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
         else:
             continue
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow(),
-                        coherence)
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         # harsh delta light: no MIS, no pdf division (path.cpp:170-173)
-        L = L + jnp.where((ok & f_valid)[..., None], rad * f, 0.0)
+        contrib = jnp.where((geo_ok & f_valid)[..., None], rad * f, 0.0)
+        queries.append((wi, dist, geo_ok, contrib))
 
     if scene.env_kind != "none":
         if scene.env_kind == "envmap":
@@ -483,15 +466,49 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
                 xi[cursor], xi[cursor + 1]
             )
         geo_ok = valid & alive & (dot(-wi, hit.normal) >= EPSILON_FLOAT)
-        ok = _shadow_ok(scene, hit, wi, dist, geo_ok, xi_shadow(),
-                        coherence)
         pdf_eval, f, f_valid = _bsdf_eval(scene, hit, wi, wo)
         w_mis = mis_weight(pdf, pdf_eval)
         contrib = (
             w_mis[..., None] * rad * f / jnp.maximum(pdf, 1e-12)[..., None]
         )
-        L = L + jnp.where((ok & f_valid)[..., None], contrib, 0.0)
+        queries.append((
+            wi, dist, geo_ok,
+            jnp.where((geo_ok & f_valid)[..., None], contrib, 0.0),
+        ))
 
+    return queries
+
+
+def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
+                     differentiable: bool = False, coherence=None):
+    """All-emitter NEE: every analytic emitter + one CDF-sampled area
+    light + the escape emitter, each against its own shadow ray
+    (csrt EvaluateDirectLightPath, path.cpp:138-236).
+
+    Shadow segments run surface -> light (the reference traces light ->
+    surface, path.cpp:199-203; occlusion of the segment is symmetric):
+    the traversal sorts rays by direction-octant + origin-Morton, and a
+    wavefront's bounce vertices are Morton-tight while the sampled
+    light is one small patch — surface-origin rays share chunk
+    corridors, light-origin rays fan out over the whole scene."""
+    n = wo.shape[0]
+    L = jnp.zeros((n, 3), jnp.float32)
+    # stochastic-alpha draws live at the tail of xi: query j consumes
+    # xi[s_base + j*K : s_base + (j+1)*K] (layout fixed by nee_draw_count)
+    s_base = nee_draw_count(scene) - (
+        SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
+    )
+    for j, (wi, dist, geo_ok, contrib) in enumerate(
+        _nee_queries(scene, hit, wo, alive, xi, differentiable)
+    ):
+        xi_shadow = (
+            xi[s_base + j * SHADOW_ALPHA_K : s_base + (j + 1) * SHADOW_ALPHA_K]
+            if scene.has_opacity else None
+        )
+        occluded = shadow_occluded(
+            scene, hit.position, -wi, geo_ok, dist, xi_shadow, coherence
+        )
+        L = L + jnp.where(occluded[..., None], 0.0, contrib)
     return L
 
 
@@ -689,6 +706,274 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
     return state[1], state[6]
 
 
+def _use_batched_trace(scene: SceneData) -> bool:
+    """Whether shade_regen uses the single-batched-trace body.
+
+    Gated to scenes where "closest hit exists" == "shadow segment
+    occluded" (every primitive opaque, no alpha masks), which lets the
+    continuation ray and all Q NEE shadow rays ride ONE traversal call
+    of (1+Q)*n lanes — the march/pairs pipelines' per-call fixed costs
+    (variadic sorts are dispatch-bound: 512k lanes cost the same 1.4 ms
+    as 64k, scripts/pair_sort_probe.py) then amortize over the whole
+    iteration instead of recurring 1+Q times.  Small scenes keep the
+    dense path (its cost is pure lane-work — nothing to amortize).
+    MCPT_BATCH_TRACE=0 opts out."""
+    import os
+
+    from mcpt_tpu.ops.traversal import DENSE_MAX_PRIMS
+
+    if os.environ.get("MCPT_BATCH_TRACE", "1") != "1":
+        return False
+    return (
+        scene.all_opaque
+        and not scene.has_opacity
+        and scene.geom.p0.shape[0] > DENSE_MAX_PRIMS
+        and _nee_query_count(scene) >= 1
+    )
+
+
+def _shade_regen_batched(scene: SceneData, integ, camera, pixel_idx,
+                         spp: int, frame_base=0,
+                         spp_total: int | None = None, sample_offset=0):
+    """shade_regen with ONE traversal per iteration (see
+    _use_batched_trace).
+
+    Estimator and per-sample RNG streams are identical to shade_regen:
+    the per-vertex draw order (RR, NEE, BSDF) is unchanged; only the
+    OCCLUSION of vertex v's NEE resolves one iteration later, inside
+    the batch that also traces vertex v+1's continuation.  Because a
+    lane may regenerate in between, a dying sample's radiance parks in
+    L_prev until its pending shadow rays resolve (the fold — with the
+    reference's per-sample clamp — happens strictly after resolution,
+    so clamping sees the complete sample)."""
+    from mcpt_tpu.ops.math import EPSILON_DISTANCE as EPS_D
+    from mcpt_tpu.render.camera import generate_rays
+
+    n = pixel_idx.shape[0]
+    q_n = _nee_query_count(scene)
+    if spp_total is None:
+        spp_total = spp
+    base = jnp.asarray(frame_base, jnp.uint32) + jnp.asarray(
+        sample_offset, jnp.uint32
+    )
+    n_nee = nee_draw_count(scene)
+    pdf_rr_rcp = 1.0 / integ.pdf_rr
+    depth_cut = integ.depth_max
+
+    def fold(L, Ls, mask):
+        if integ.sample_clamp > 0:
+            Ls = jnp.minimum(Ls, integ.sample_clamp)
+        return L + jnp.where(mask[..., None], Ls, 0.0)
+
+    def regen(work_k, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis,
+              seed, alive, vert, alive_entry):
+        """Sample-boundary bookkeeping: lanes whose sample just ended
+        park L_samp in L_prev (folded AFTER their pending shadows
+        resolve) and, with samples left, start the next camera ray."""
+        ended = alive_entry & ~alive
+        L_prev = jnp.where(ended[..., None], L_samp, L_prev)
+        fold_pend = fold_pend | ended
+        L_samp = jnp.where(ended[..., None], 0.0, L_samp)
+        fresh = ended & (work_k < spp)
+        k = jnp.where(fresh, work_k, 0)
+        ku = k.astype(jnp.uint32)
+        u = (jnp.asarray(sample_offset, jnp.float32) + k.astype(jnp.float32)
+             ) / spp_total
+        v = rng.van_der_corput_base2(base + ku + jnp.uint32(1))
+        o_new, d_new = generate_rays(camera, pixel_idx, u, v)
+        fm = fresh[..., None]
+        o = jnp.where(fm, o_new, o)
+        d = jnp.where(fm, d_new, d)
+        seed = jnp.where(fresh, rng.pixel_seed(pixel_idx, base + ku), seed)
+        beta = jnp.where(fm, 1.0, beta)
+        pdf_mis = jnp.where(fresh, 1e12, pdf_mis)
+        vert = jnp.where(fresh, 0, vert)
+        alive = alive | fresh
+        work_k = work_k + fresh.astype(jnp.int32)
+        return (work_k, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis,
+                seed, alive, vert, fresh)
+
+    # bootstrap: every lane "ended" an empty sample and regenerates
+    boot = regen(
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.ones((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0),
+        jnp.full((n,), 1e12, jnp.float32),
+        rng.pixel_seed(pixel_idx, base),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), jnp.bool_),   # alive_entry: everyone "ended"
+    )
+    (work_k0, L_samp0, L_prev0, fold_pend0, beta0, o0, d0, pdf_mis0,
+     seed0, alive0, vert0, fresh0) = boot
+    fold_pend0 = jnp.zeros((n,), jnp.bool_)  # nothing truly pending yet
+    state0 = (
+        work_k0, jnp.zeros((n, 3), jnp.float32), L_samp0, L_prev0,
+        fold_pend0, beta0, o0, d0, pdf_mis0, seed0, alive0, vert0, fresh0,
+        jnp.zeros((n, 3), jnp.float32),        # sh_o
+        jnp.zeros((q_n, n, 3), jnp.float32),   # sh_d (toward light)
+        jnp.zeros((q_n, n), jnp.float32),      # sh_dist (0 = no query)
+        jnp.zeros((q_n, n, 3), jnp.float32),   # sh_pend (beta * contrib)
+    )
+
+    def cond(st):
+        alive, fold_pend = st[10], st[4]
+        return jnp.any(alive | fold_pend)
+
+    def body(st):
+        (work_k, L, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis, seed,
+         alive, vert, fresh, sh_o, sh_d, sh_dist, sh_pend) = st
+
+        # --- 1. ONE batched closest trace: [cont | shadow_1..Q].
+        # all_opaque gate: a shadow segment is occluded iff its closest
+        # hit exists (no null shells, no alpha), so every slot shares
+        # closest-hit semantics and one traversal program.
+        big_o = jnp.concatenate([o] + [sh_o] * q_n)
+        big_d = jnp.concatenate([d] + [sh_d[q] for q in range(q_n)])
+        big_tmax = jnp.concatenate(
+            [jnp.where(alive, MAX_FLOAT, 0.0)]
+            + [jnp.maximum(sh_dist[q] - EPS_D, 0.0) for q in range(q_n)]
+        )
+        big_bias = jnp.concatenate(
+            [(~fresh).astype(jnp.int32), jnp.ones((q_n * n,), jnp.int32)]
+        )
+        bhit = scene_closest(
+            scene, big_o, big_d, t_max=big_tmax, sort_bias=big_bias
+        )
+        ghit = type(bhit)(*(x[:n] for x in bhit))
+        occ = [
+            bhit.valid[n * (1 + q): n * (2 + q)] for q in range(q_n)
+        ]
+
+        # --- 2. resolve vertex-(v-1) NEE now its occlusion is known
+        for q in range(q_n):
+            add = jnp.where(
+                (~occ[q] & (sh_dist[q] > 0.0))[..., None], sh_pend[q], 0.0
+            )
+            L_samp = L_samp + jnp.where(fold_pend[..., None], 0.0, add)
+            L_prev = L_prev + jnp.where(fold_pend[..., None], add, 0.0)
+        sh_dist = jnp.zeros_like(sh_dist)
+
+        # --- 3. late fold: the parked sample is now complete
+        L = fold(L, L_prev, fold_pend)
+        L_prev = jnp.where(fold_pend[..., None], 0.0, L_prev)
+        fold_pend = jnp.zeros_like(fold_pend)
+
+        # --- 4. shade the continuation hit (mirrors shade_regen)
+        hit = interpolate_hit(scene, ghit, o, d)
+        vert = vert + 1
+        primary = vert == 1
+        alive_entry = alive
+
+        if scene.env_kind != "none":
+            esc = alive & ~hit.valid
+            rad_esc = _escape_radiance(scene, d)
+            pdf_esc = _escape_pdf(scene, d)
+            w_esc = mis_weight(pdf_mis, pdf_esc)
+            L_samp = L_samp + jnp.where(
+                esc[..., None], w_esc[..., None] * beta * rad_esc, 0.0
+            )
+        if scene.sun_row >= 0:
+            L_samp = L_samp + jnp.where(
+                (alive & ~hit.valid & primary)[..., None],
+                emitters.eval_sun_escape(
+                    scene.emitters, scene.tex, scene.sun_row, d
+                ),
+                0.0,
+            )
+
+        has_b = hit.bsdf_id >= 0
+        emitter = bsdfs.is_emitter(scene.bsdf, hit.bsdf_id) & has_b
+        wi_in = -d
+        cos_prime = dot(wi_in, hit.normal)
+        pdf_area_hit = take_rows(
+            scene.map_inst_light_pdf, jnp.maximum(hit.inst_id, 0)
+        )
+        t_safe = jnp.where(hit.valid, jnp.minimum(hit.t, 1e8), 1.0)
+        pdf_direct = (
+            pdf_area_hit * (t_safe * t_safe) / jnp.maximum(cos_prime, 1e-12)
+        )
+        w_bsdf = mis_weight(pdf_mis, pdf_direct)
+        rad = bsdfs.get_radiance(scene.bsdf, _stex(scene), hit.bsdf_id, hit.uv)
+        backface = (
+            hit.inside & ~bsdfs.is_twosided(scene.bsdf, hit.bsdf_id) & has_b
+        )
+        take_em = (
+            alive & hit.valid & emitter & ~backface
+            & ((cos_prime >= EPSILON_FLOAT) | primary)
+        )
+        if integ.hide_emitters:
+            take_em = take_em & ~primary
+        L_samp = L_samp + jnp.where(
+            take_em[..., None], w_bsdf[..., None] * beta * rad, 0.0
+        )
+        alive = alive & hit.valid & ~emitter & ~backface & (vert < depth_cut)
+
+        # --- 5. Russian roulette with immediate compensation
+        seed, rr_u = rng.random_float(seed)
+        need_rr = vert >= integ.depth_rr
+        alive = alive & (~need_rr | (rr_u < integ.pdf_rr))
+        beta = jnp.where((alive & need_rr)[..., None], beta * pdf_rr_rcp, beta)
+
+        # --- 6. NEE prep: sample every emitter, compute the FULL
+        # contribution now; only occlusion defers to the next batch.
+        seed, xi_nee = rng.random_floats(seed, n_nee)
+        queries = _nee_queries(scene, hit, wi_in, alive, xi_nee)
+        sh_o = hit.position
+        sh_d_new = []
+        sh_dist_new = []
+        sh_pend_new = []
+        for wi, dist, geo_ok, contrib in queries:
+            pend = beta * contrib
+            live_q = geo_ok & alive & (jnp.max(pend, axis=-1) > 0.0)
+            sh_d_new.append(jnp.where(live_q[..., None], -wi, 0.0))
+            sh_dist_new.append(jnp.where(live_q, dist, 0.0))
+            sh_pend_new.append(jnp.where(live_q[..., None], pend, 0.0))
+        sh_d = jnp.stack(sh_d_new)
+        sh_dist = jnp.stack(sh_dist_new)
+        sh_pend = jnp.stack(sh_pend_new)
+
+        # --- 7. BSDF sample -> next continuation segment
+        seed, xi_b = rng.random_floats(seed, bsdfs.N_SAMPLE_DRAWS)
+        wi, pdf_b, f, valid_b = bsdfs.bsdf_sample(
+            scene.bsdf,
+            _stex(scene),
+            scene.present_types,
+            hit.bsdf_id,
+            wi_in,
+            hit.normal,
+            hit.tangent,
+            hit.bitangent,
+            hit.inside,
+            hit.uv,
+            xi_b,
+            kc=(scene.brdf_avg, scene.albedo_avg),
+        )
+        beta_new = beta * f / jnp.maximum(pdf_b, 1e-12)[..., None]
+        alive = alive & valid_b & (jnp.max(beta_new, axis=-1) >= EPSILON)
+        beta = jnp.where(alive[..., None], beta_new, beta)
+        null_vertex = hit.bsdf_id < 0
+        pdf_mis = jnp.where(null_vertex, pdf_mis, pdf_b)
+        o = hit.position
+        d = -wi
+
+        # --- 8. sample boundary: park ended samples, start new ones
+        (work_k, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis, seed,
+         alive, vert, fresh) = regen(
+            work_k, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis, seed,
+            alive, vert, alive_entry,
+        )
+        return (work_k, L, L_samp, L_prev, fold_pend, beta, o, d, pdf_mis,
+                seed, alive, vert, fresh, sh_o, sh_d, sh_dist, sh_pend)
+
+    state = lax.while_loop(cond, body, state0)
+    return state[1] / spp, state[9]
+
+
 def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
                 frame_base=0, spp_total: int | None = None,
                 sample_offset=0):
@@ -711,8 +996,18 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
     Tea(pixel, base+k) rather than one threaded stream, so images agree
     statistically, not bitwise).  Returns (film [N, 3] = mean over spp,
     final seed).
+
+    Large all-opaque scenes take the single-batched-trace body
+    (_shade_regen_batched): same estimator, same per-sample RNG
+    streams, one traversal per iteration instead of 1 + Q.
     """
     from mcpt_tpu.render.camera import generate_rays
+
+    if _use_batched_trace(scene):
+        return _shade_regen_batched(
+            scene, integ, camera, pixel_idx, spp, frame_base=frame_base,
+            spp_total=spp_total, sample_offset=sample_offset,
+        )
 
     n = pixel_idx.shape[0]
     if spp_total is None:

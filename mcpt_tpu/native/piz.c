@@ -8,6 +8,14 @@
  * reference's TungstenRender.exr goldens and envmap assets (the
  * reference links tinyexr instead; csrt src/utils/image_io.cpp:55-80).
  *
+ * Derivation note: the Huffman table construction and wavelet
+ * inverse closely follow the structure of the BSD-licensed OpenEXR
+ * reference implementation (ILM's ImfHuf.cpp / ImfWav.cpp) — much of
+ * that shape is format-mandated (the decoder must be bit-identical to
+ * ILM's encoder), and this file should be read as a C re-derivation
+ * of that public reference code, not an independent design.  It has
+ * no relationship to /root/reference, which does not implement PIZ.
+ *
  * Compiled by mcpt_tpu.native (gcc -O2 -shared), called via ctypes.
  */
 

@@ -62,15 +62,22 @@ def pair_k() -> int:
     return max(1, int(os.environ.get("MCPT_PAIR_K", "8")))
 
 
-def pair_block() -> int:
-    """Pairs per kernel block (the sweep's sublane extent).  512 keeps
-    the ~15 live [R, ls] f32 sweep intermediates at 7.9 MB scoped VMEM
-    for ls=256 (the 16 MB Mosaic limit bounds R*ls at ~256k lanes).
-    MCPT_PAIR_BLOCK overrides; rounded up to a multiple of 8 sublanes."""
+def pair_block(ls: int = 256) -> int:
+    """Pairs per kernel block (the sweep's LANE extent).  The scoped-
+    VMEM budget bounds R*ls at ~128k lanes (~15 live [ls, R] f32 sweep
+    intermediates under the 16 MB Mosaic limit), so the default scales
+    inversely with the scene's chunk size: 512 pairs at ls=256, 1024 at
+    ls=128 — fewer blocks, same-shaped sweeps.  MCPT_PAIR_BLOCK
+    overrides; rounded up to a multiple of 128 (the lane width)."""
     import os
 
-    r = int(os.environ.get("MCPT_PAIR_BLOCK", "512"))
-    return max(8, -(-r // 8) * 8)
+    raw = os.environ.get("MCPT_PAIR_BLOCK")
+    # measured (classroom, ls=128): scaling R up to 1024 to fill the
+    # VMEM budget is ~8% SLOWER than flat 512 — wider blocks span more
+    # distinct chunks, so iteration count stays put while the per-
+    # iteration latency grows.  Flat 512 is the sweet spot.
+    r = int(raw) if raw is not None else 512
+    return max(128, -(-r // 128) * 128)
 
 
 def _pair_kernel(rays_ref, tris_ref, t_ref, prim_ref, v_ref, w_ref,

@@ -975,7 +975,7 @@ def _intersect_pairs(geom, o, d, t_min, t_max, any_hit, interpret=False):
         dimension=0, num_keys=1, is_stable=False,
     )
 
-    r = pair_block()
+    r = pair_block(geom.march_leaf)
     g = -(-(n * k) // r)
     pad = g * r
 

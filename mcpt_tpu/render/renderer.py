@@ -171,6 +171,16 @@ class Renderer:
     """Facade: config -> committed scene -> film (csrt RayTracer)."""
 
     def __init__(self, config: RendererConfig):
+        import os
+
+        # config-tier perf knobs (ir.RendererConfig.perf) become MCPT_*
+        # env DEFAULTS before the scene commit reads them — explicit env
+        # vars still win, so ops overrides stay possible while a render
+        # is reproducible from the scene file alone (SURVEY §5 config)
+        for key, value in getattr(config, "perf", {}).items():
+            os.environ.setdefault(
+                "MCPT_" + key.upper().replace(".", "_"), str(value)
+            )
         self.config = config
         self.scene = compile_scene(config)
         self.camera = make_camera(config.camera)
@@ -228,27 +238,48 @@ class Renderer:
                 )
             acc = None
             s_done = 0
+            retries = int(os.environ.get("MCPT_TILE_RETRIES", "2"))
             for s in chunks:
-                try:
-                    out = tile_fn(
-                        self.scene, cam, integ, idx, s, frame_base,
-                        spp_total=spp, sample_offset=s_done,
-                    )
-                except jax.errors.JaxRuntimeError as err:
-                    fb = _tile_fallback(engine)
-                    if fb is None or not _is_compiler_crash(err):
-                        raise
-                    import warnings
+                # Elastic tile dispatch (SURVEY §5 failure row): per-pixel
+                # RNG is a pure function of (pixel, sample), so a lost or
+                # faulted tile dispatch is simply re-issued — the retry
+                # renders the IDENTICAL contribution (idempotent
+                # recovery, tests/test_renderer_elastic.py).  Compiler
+                # crashes additionally switch to the XLA-fallback
+                # compile options (see _tile_fallback).
+                for attempt in range(retries + 1):
+                    try:
+                        out = tile_fn(
+                            self.scene, cam, integ, idx, s, frame_base,
+                            spp_total=spp, sample_offset=s_done,
+                        )
+                        jax.block_until_ready(out)
+                        break
+                    except jax.errors.JaxRuntimeError as err:
+                        import warnings
 
-                    warnings.warn(
-                        "remote TPU compile crashed; retrying tile with "
-                        "XLA fallback options (see renderer.py): "
-                        f"{type(err).__name__}"
-                    )
-                    tile_fn = fb
-                    out = tile_fn(
-                        self.scene, cam, integ, idx, s, frame_base,
-                        spp_total=spp, sample_offset=s_done,
+                        if _is_compiler_crash(err):
+                            fb = _tile_fallback(engine)
+                            if fb is None:
+                                raise
+                            warnings.warn(
+                                "remote TPU compile crashed; retrying tile "
+                                "with XLA fallback options (renderer.py): "
+                                f"{type(err).__name__}"
+                            )
+                            tile_fn = fb
+                            continue
+                        if attempt >= retries:
+                            raise
+                        warnings.warn(
+                            f"tile [{start}:{end}] spp-chunk {s_done}+{s} "
+                            f"dispatch failed ({type(err).__name__}); "
+                            f"re-rendering (attempt {attempt + 1})"
+                        )
+                else:  # every attempt failed without re-raising
+                    raise RuntimeError(
+                        f"tile [{start}:{end}] failed after {retries + 1} "
+                        "dispatch attempts"
                     )
                 contrib = _scale_film(out, float(s))
                 acc = contrib if acc is None else _add_films(acc, contrib)

@@ -105,6 +105,11 @@ class SceneData:
     quad_kinds: tuple = flax.struct.field(pytree_node=False, default=())
     # ((cdf_cell, quad_row, kind), ...) for emissive quadrics
     em_quad_cells: tuple = flax.struct.field(pytree_node=False, default=())
+    # every primitive (triangle AND quadric) blocks shadow rays — lets
+    # the batched regen engine treat "closest hit exists" == occluded
+    # (integrators.path.shade_regen_batched); False when the scene has
+    # null-boundary medium shells
+    all_opaque: bool = flax.struct.field(pytree_node=False, default=True)
     # texture kinds reachable from BSDF tables (surface shading).  The
     # full tex.kinds also counts emitter-only bitmaps (envmap radiance,
     # synthesized sun/sky, spot projections) — compiling the 12-gather
@@ -423,6 +428,9 @@ def compile_scene(config: RendererConfig) -> SceneData:
         has_opacity=any(b.id_opacity >= 0 for b in config.bsdfs),
         quad_kinds=tuple(quad_kinds),
         em_quad_cells=tuple(em_quad_cells),
+        all_opaque=bool(np.all(tri_opaque)) and all(
+            op for _, op in quad_kinds
+        ),
         surface_kinds=surface_kinds,
     )
 

@@ -198,3 +198,9 @@ class RendererConfig:
     media: list = dataclasses.field(default_factory=list)      # [MediumInfo]
     instances: list = dataclasses.field(default_factory=list)  # [InstanceInfo]
     emitters: list = dataclasses.field(default_factory=list)   # [EmitterInfo]
+    # performance knobs from the config tiers (XML `<default
+    # name="mcpt.march_block" .../>` / CLI --set march_block=512) —
+    # applied by the Renderer as MCPT_* environment DEFAULTS, so a
+    # render is reproducible from the scene file alone while explicit
+    # env vars still win (SURVEY §5 config row).
+    perf: dict = dataclasses.field(default_factory=dict)

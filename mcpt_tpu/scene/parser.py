@@ -73,7 +73,15 @@ def _load_root(root, scene_dir: str) -> RendererConfig:
     ctx = _Ctx(scene_dir)
 
     for node in root.findall("default"):
-        ctx.defaults["$" + node.get("name", "")] = node.get("value", "")
+        name = node.get("name", "")
+        value = node.get("value", "")
+        if name.startswith("mcpt."):
+            # performance-knob tier (ir.RendererConfig.perf): `<default
+            # name="mcpt.march_block" value="512"/>` — applied by the
+            # Renderer as MCPT_MARCH_BLOCK unless the env already sets it
+            ctx.config.perf[name[5:]] = value
+        else:
+            ctx.defaults["$" + name] = value
 
     sensor = root.find("sensor")
     if sensor is not None:

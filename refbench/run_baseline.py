@@ -92,7 +92,12 @@ def main():
     rows = []
     for cfg_row in CONFIGS:
         name, rel, depth, avg_b = cfg_row[:4]
-        res = cfg_row[4] if len(cfg_row) > 4 else args.res
+        # mirror bench_suite's row shape: slot 4 may be None (use the CLI
+        # res) and slot 5 an integrator override the reference lacks —
+        # skip such rows instead of invoking the binary with "-w None"
+        res = cfg_row[4] if len(cfg_row) > 4 and cfg_row[4] else args.res
+        if len(cfg_row) > 5 and cfg_row[5]:
+            continue
         if args.scene and args.scene != name:
             continue
         xml = make_scene_copy(rel, depth, out_root)

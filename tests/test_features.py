@@ -166,7 +166,8 @@ class TestColumnKinds:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
-def _ceiling_light_floor_scene(screen_alpha, spp=512):
+def _ceiling_light_floor_scene(screen_alpha, spp=512, n_screens=1,
+                               opaque_cap_y=None):
     """White floor at y=0 lit by a ceiling area light at y=2; optional
     alpha-masked black screen at y=1 between them.  The camera looks at
     the floor from below the screen plane, so ONLY the NEE shadow rays
@@ -202,8 +203,19 @@ def _ceiling_light_floor_scene(screen_alpha, spp=512):
         bsdfs.append(BsdfInfo(btype=BsdfType.DIFFUSE,
                               id_diffuse_reflectance=black,
                               id_opacity=alpha_t))
-        instances.append(InstanceInfo(shape="rectangle", id_bsdf=2,
-                                      to_world=xform(90, 2.0, 1.0)))
+        for i in range(n_screens):
+            instances.append(InstanceInfo(
+                shape="rectangle", id_bsdf=2,
+                to_world=xform(90, 2.0, 0.5 + 0.1 * i),
+            ))
+    if opaque_cap_y is not None:
+        # plain opaque black screen above the masked stack
+        bsdfs.append(BsdfInfo(btype=BsdfType.DIFFUSE,
+                              id_diffuse_reflectance=black))
+        instances.append(InstanceInfo(
+            shape="rectangle", id_bsdf=len(bsdfs) - 1,
+            to_world=xform(90, 2.0, opaque_cap_y),
+        ))
     cam = CameraInfo(
         width=8, height=8, spp=spp, fov_x=25.0,
         eye=np.array([0, 0.4, 3.0], np.float32),
@@ -237,3 +249,44 @@ class TestShadowRayAlpha:
             Renderer(_ceiling_light_floor_scene(1.0, spp=16)).render(tile=64)
         )
         assert img[4, 4].max() < 1e-5
+
+
+class TestShadowAlphaBoundary:
+    """SHADOW_ALPHA_K bounds the masked/null crossings a shadow ray
+    resolves; crossings beyond it pass unoccluded (documented deviation,
+    integrators/path.py).  These tests pin the boundary: K fully
+    transparent masks resolve exactly, an occluder hiding BEHIND K
+    masks leaks (and stops leaking when MCPT_SHADOW_ALPHA_K is raised,
+    via the module knob)."""
+
+    def test_k_transparent_masks_pass(self):
+        base = np.asarray(
+            Renderer(_ceiling_light_floor_scene(None, spp=256)).render(tile=64)
+        )
+        img = np.asarray(Renderer(
+            _ceiling_light_floor_scene(0.0, spp=256, n_screens=4)
+        ).render(tile=64))
+        ratio = img[4, 4].mean() / max(base[4, 4].mean(), 1e-9)
+        np.testing.assert_allclose(ratio, 1.0, rtol=0.1)
+
+    def test_occluder_beyond_k_leaks_documented(self, monkeypatch):
+        from mcpt_tpu.integrators import path as P
+
+        # opaque cap above 4 transparent masks: the cap is the 5th
+        # crossing -> never tested at K=4 -> full leak (documented)
+        img = np.asarray(Renderer(_ceiling_light_floor_scene(
+            0.0, spp=64, n_screens=4, opaque_cap_y=1.5
+        )).render(tile=64))
+        base = np.asarray(
+            Renderer(_ceiling_light_floor_scene(None, spp=64)).render(tile=64)
+        )
+        assert img[4, 4].mean() > 0.5 * base[4, 4].mean()  # leaks
+
+        # raising the knob resolves the 5th crossing -> occluded.
+        # (different spp than above so the jit cache can't reuse the
+        # K=4 program for the same tile signature)
+        monkeypatch.setattr(P, "SHADOW_ALPHA_K", 6)
+        dark = np.asarray(Renderer(_ceiling_light_floor_scene(
+            0.0, spp=63, n_screens=4, opaque_cap_y=1.5
+        )).render(tile=64))
+        assert dark[4, 4].max() < 1e-5

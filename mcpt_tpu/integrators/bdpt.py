@@ -200,7 +200,7 @@ def _connect(scene: SceneData, hit: HitAttrs, wo, alive, vert: LightVertex,
     conversion.  Returns (L [N,3], pdf_direct [N], ok [N]).
 
     The visibility segment traces camera-vertex -> light-vertex (origin
-    coherence for the march blocks — see path._nee_area) and applies
+    coherence for the march blocks — see path._direct_lighting) and applies
     stochastic alpha like the archive's IsTransparent-in-traversal
     (archive/src/shapes/triangle.cpp:66)."""
     from mcpt_tpu.integrators.path import shadow_occluded

@@ -722,7 +722,22 @@ def _use_batched_trace(scene: SceneData) -> bool:
 
     from mcpt_tpu.ops.traversal import DENSE_MAX_PRIMS
 
-    if os.environ.get("MCPT_BATCH_TRACE", "1") != "1":
+    from mcpt_tpu.ops.traversal import resolved_strategy
+
+    flag = os.environ.get("MCPT_BATCH_TRACE")
+    if flag is not None:
+        if flag != "1":
+            return False
+    elif scene.geom.p0.shape[0] > (1 << 18):
+        # measured r5: batching wins the matpreview family (+12-18%) and
+        # is neutral on dragon/classroom, but costs dining-room (270k
+        # prims) ~12% — above ~256k prims the 2-3x wider march calls
+        # stop amortizing.  MCPT_BATCH_TRACE=1 forces it on.
+        return False
+    elif resolved_strategy(scene.geom) == "pairs":
+        # the pair pipeline's costs are per-block, not per-call —
+        # batching triples its stream with nothing amortized (classroom
+        # measured 1.10 batched vs 1.26 unbatched)
         return False
     return (
         scene.all_opaque
@@ -838,8 +853,14 @@ def _shade_regen_batched(scene: SceneData, integ, camera, pixel_idx,
             [jnp.where(alive, MAX_FLOAT, 0.0)]
             + [jnp.maximum(sh_dist[q] - EPS_D, 0.0) for q in range(q_n)]
         )
+        # coherence classes: fresh camera 0 / bounce 1 / shadow 2+q
+        # (clipped to the 2-bit field) — sun-shadow segments are nearly
+        # parallel while env-shadow segments fan out; sharing one class
+        # merges their corridors in the march blocks
         big_bias = jnp.concatenate(
-            [(~fresh).astype(jnp.int32), jnp.ones((q_n * n,), jnp.int32)]
+            [(~fresh).astype(jnp.int32)]
+            + [jnp.full((n,), min(2 + q, 3), jnp.int32)
+               for q in range(q_n)]
         )
         bhit = scene_closest(
             scene, big_o, big_d, t_max=big_tmax, sort_bias=big_bias

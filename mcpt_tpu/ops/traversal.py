@@ -387,10 +387,13 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
     nearest-first pruning concentrates the work (r5 measurement:
     conductor 2.94 -> see docs/PERF.md).
 
-    Bit budget: every geometric key fits bits 0-28 (asserted by masking
-    below); the wrapper ORs the coherence-class bit at 29 and the
-    dead-lane bit at 30 on top.  A future mode must stay inside 29 bits
-    or block packing silently degrades (ADVICE r4).
+    Bit budget: every geometric key fits bits 0-27 (asserted by masking
+    below); the wrapper ORs the two-bit coherence CLASS at bits 28-29
+    (camera=0 / bounce=1 / shadow=2 — the batched trace mixes all three
+    in one call, and a one-bit class measured ~7-9% slower on dragon /
+    dining because shadow and bounce corridors merged into the same
+    blocks) and the dead-lane bit at 30 on top.  A future mode must
+    stay inside 28 bits or block packing silently degrades (ADVICE r4).
     """
     import os
 
@@ -406,7 +409,7 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
         | (_morton10(qi[..., 1]) << 1)
         | _morton10(qi[..., 2])
     )
-    geo_mask = jnp.uint32((1 << 29) - 1)  # 29-bit geometric-key budget
+    geo_mask = jnp.uint32((1 << 28) - 1)  # 28-bit geometric-key budget
     if mode == "dirori":
         dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
         di = (dq * 15.0).astype(jnp.uint32)  # 4 bits/axis
@@ -415,7 +418,7 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
             | (_morton10(di[..., 1]) << 1)
             | _morton10(di[..., 2])
         )  # 12 significant bits
-        keys = ((dmorton << 15) | (morton >> 15)) & geo_mask
+        keys = ((dmorton << 14) | (morton >> 16)) & geo_mask
     elif mode == "octdir":
         # 2 bits per axis of direction (sign + coarse magnitude), then
         # origin Morton — halves a block's direction cone vs `octori`
@@ -423,15 +426,15 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
         dq = jnp.clip((d + 1.0) * 0.5, 0.0, 1.0)
         di = (dq * 3.999).astype(jnp.uint32)  # 2 bits/axis
         dir6 = (di[..., 0] << 4) | (di[..., 1] << 2) | di[..., 2]
-        keys = ((dir6 << 23) | (morton >> 7)) & geo_mask
+        keys = ((dir6 << 22) | (morton >> 8)) & geo_mask
     else:
         octant = (
             (d[..., 0] >= 0).astype(jnp.uint32) * 4
             + (d[..., 1] >= 0).astype(jnp.uint32) * 2
             + (d[..., 2] >= 0).astype(jnp.uint32)
         )
-        # keep keys in int32-sortable range: octant(3) + morton>>4 (26)
-        keys = ((octant << 26) | (morton >> 4)) & geo_mask
+        # keep keys in the 28-bit budget: octant(3) + morton>>5 (25)
+        keys = ((octant << 25) | (morton >> 5)) & geo_mask
     if coherence is not None:
         coh = jnp.asarray(coherence, jnp.int32)
         octant = (
@@ -440,9 +443,9 @@ def _ray_sort_keys(geom, o, d, mode: str | None = None, coherence=None):
             + (d[..., 2] >= 0).astype(jnp.uint32)
         )
         ck = (
-            (jnp.clip(coh, 0, 2047).astype(jnp.uint32) << 18)
-            | (octant << 15)
-            | (morton >> 15)
+            (jnp.clip(coh, 0, 2047).astype(jnp.uint32) << 17)
+            | (octant << 14)
+            | (morton >> 16)
         ) & geo_mask
         keys = jnp.where(coh >= 0, ck, keys)
     return keys.astype(jnp.int32)
@@ -655,13 +658,30 @@ def _detached(fn):
 
 
 def _large_strategy() -> str:
-    """Large-scene (> DENSE_MAX_PRIMS) traversal: 'march' (default —
-    per-lane nearest-chunk march, see _intersect_march), 'pairs'
+    """Large-scene (> DENSE_MAX_PRIMS) traversal: 'auto' (default),
+    'march' (block march, see _intersect_march_pallas), 'pairs'
     (pair-scheduled kernel, see _intersect_pairs) or 'packet'
-    (MCPT_TRAVERSAL=packet, the block-stack traversal)."""
+    (the block-stack traversal).  MCPT_TRAVERSAL overrides."""
     import os
 
-    return os.environ.get("MCPT_TRAVERSAL", "march")
+    return os.environ.get("MCPT_TRAVERSAL", "auto")
+
+
+def resolved_strategy(geom) -> str:
+    """The traversal a given geometry actually uses ('auto' resolved).
+
+    Auto routing, measured r5 (512^2@16spp d8, one v5e): the pair
+    kernel wins where block corridor UNIONS dwarf per-ray corridors —
+    classroom (1335 x 128-tri chunks): 1.26 vs 1.02 Mrays/s — while the
+    block march wins everywhere chunks are fat (256-tri: matpreview
+    3.2-3.3, dragon 26, dining 1.48 vs pairs 2.6/12/0.5).  A small
+    march_leaf is the commit-time signature of that regime (chunk
+    doubling landed small => many thin chunks => wide unions), so auto
+    = pairs iff march_leaf < 256."""
+    s = _large_strategy()
+    if s != "auto":
+        return s
+    return "pairs" if geom.march_leaf < 256 else "march"
 
 
 _march_closest = _detached(
@@ -765,12 +785,13 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
     direction-octant + origin-Morton keys so each RAY_BLOCK shares
     chunks (same coherence argument as _intersect_packet).
 
-    `sort_bias`: optional [N] int32 coherence-CLASS key prepended (bit
-    29) above the geometric key — the regen wavefront passes camera=0 /
-    bounce=1 so freshly regenerated camera rays (one origin, narrow
-    cone) never share a block with divergent bounce continuations; a
-    mixed block marches the UNION of its rays' chunk corridors
-    (docs/PERF.md: ~56 chunks mixed vs ~7 coherent).
+    `sort_bias`: optional [N] int32 coherence-CLASS key prepended (two
+    bits at 28-29) above the geometric key — the regen wavefront passes
+    camera=0 / bounce=1 / shadow=2 so freshly regenerated camera rays
+    (one origin, narrow cone) never share a block with divergent bounce
+    continuations or light-directed shadow segments; a mixed block
+    marches the UNION of its rays' chunk corridors (docs/PERF.md: ~56
+    chunks mixed vs ~7 coherent).
 
     `coherence`: optional [N] int32 origin chunk id (-1 unknown) — see
     _ray_sort_keys."""
@@ -788,7 +809,8 @@ def _intersect_march_pallas(geom, o, d, t_min, t_max, any_hit,
         t_max <= t_min, jnp.int32(1 << 30), jnp.int32(0)
     )
     if sort_bias is not None:
-        keys = keys | (jnp.asarray(sort_bias, jnp.int32) << 29)
+        # two-bit coherence class at bits 28-29 (see _ray_sort_keys)
+        keys = keys | (jnp.asarray(sort_bias, jnp.int32) << 28)
     # ONE variadic sort carries the key, the recovered permutation (the
     # iota operand), and all eight ray columns — replacing argsort plus
     # a chain of per-lane gathers (a TPU gather at 64k lanes costs
@@ -1093,7 +1115,7 @@ def intersect_closest(geom, o, d, t_min=None, t_max=None, sort_bias=None,
         if _use_pallas_dense():
             return _intersect_dense_pallas(geom, o, d, t_min, t_max, False)
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=False)
-    strategy = _large_strategy()
+    strategy = resolved_strategy(geom)
     if strategy == "packet":
         return _packet_closest(geom, o, d, t_min, t_max)
     if strategy == "pairs" and _use_pallas_march():
@@ -1119,7 +1141,7 @@ def intersect_any(geom, o, d, t_min=None, t_max=None, coherence=None):
                 geom, o, d, t_min, t_max, True
             ).valid
         return _intersect_dense(geom, o, d, t_min, t_max, any_hit=True).valid
-    strategy = _large_strategy()
+    strategy = resolved_strategy(geom)
     if strategy == "packet":
         return _packet_any(geom, o, d, t_min, t_max).valid
     if strategy == "pairs" and _use_pallas_march():

@@ -221,74 +221,45 @@ class Renderer:
 
         frame = np.zeros((n_pix, 3), np.float32)
         t0 = time.time()
-        done_work = 0
+        state = {"done": 0, "tile_fn": tile_fn}
         total_work = n_pix * spp
-        # Per-chunk films accumulate ON DEVICE and each tile is fetched
-        # once, asynchronously: a synchronous np.asarray per (tile,
-        # spp-chunk) costs more than the render itself through the axon
-        # tunnel (jax.profiler trace, docs/profile/SUMMARY.md — 265 ms
-        # per 768 KB readback vs 211 ms device compute per tile).
-        pending: list[tuple[int, int, jax.Array]] = []
-        for start in range(0, n_pix, tile):
-            end = min(start + tile, n_pix)
-            idx = jnp.arange(start, end, dtype=jnp.int32)
-            if end - start < tile:  # keep one compiled shape
-                idx = jnp.concatenate(
-                    [idx, jnp.zeros(tile - (end - start), jnp.int32)]
-                )
+
+        def dispatch_tile(start, end, idx):
+            """Queue one tile's spp chunks (NO device sync — dispatches
+            stay pipelined; the axon round-trip is ~24 ms, which would
+            serialize fast scenes 3-4x if paid per chunk)."""
             acc = None
             s_done = 0
-            retries = int(os.environ.get("MCPT_TILE_RETRIES", "2"))
             for s in chunks:
-                # Elastic tile dispatch (SURVEY §5 failure row): per-pixel
-                # RNG is a pure function of (pixel, sample), so a lost or
-                # faulted tile dispatch is simply re-issued — the retry
-                # renders the IDENTICAL contribution (idempotent
-                # recovery, tests/test_renderer_elastic.py).  Compiler
-                # crashes additionally switch to the XLA-fallback
-                # compile options (see _tile_fallback).
-                for attempt in range(retries + 1):
-                    try:
-                        out = tile_fn(
-                            self.scene, cam, integ, idx, s, frame_base,
-                            spp_total=spp, sample_offset=s_done,
-                        )
-                        jax.block_until_ready(out)
-                        break
-                    except jax.errors.JaxRuntimeError as err:
-                        import warnings
+                try:
+                    out = state["tile_fn"](
+                        self.scene, cam, integ, idx, s, frame_base,
+                        spp_total=spp, sample_offset=s_done,
+                    )
+                except jax.errors.JaxRuntimeError as err:
+                    fb = _tile_fallback(engine)
+                    if fb is None or not _is_compiler_crash(err):
+                        raise
+                    import warnings
 
-                        if _is_compiler_crash(err):
-                            fb = _tile_fallback(engine)
-                            if fb is None:
-                                raise
-                            warnings.warn(
-                                "remote TPU compile crashed; retrying tile "
-                                "with XLA fallback options (renderer.py): "
-                                f"{type(err).__name__}"
-                            )
-                            tile_fn = fb
-                            continue
-                        if attempt >= retries:
-                            raise
-                        warnings.warn(
-                            f"tile [{start}:{end}] spp-chunk {s_done}+{s} "
-                            f"dispatch failed ({type(err).__name__}); "
-                            f"re-rendering (attempt {attempt + 1})"
-                        )
-                else:  # every attempt failed without re-raising
-                    raise RuntimeError(
-                        f"tile [{start}:{end}] failed after {retries + 1} "
-                        "dispatch attempts"
+                    warnings.warn(
+                        "remote TPU compile crashed; retrying tile with "
+                        "XLA fallback options (see renderer.py): "
+                        f"{type(err).__name__}"
+                    )
+                    state["tile_fn"] = fb
+                    out = state["tile_fn"](
+                        self.scene, cam, integ, idx, s, frame_base,
+                        spp_total=spp, sample_offset=s_done,
                     )
                 contrib = _scale_film(out, float(s))
                 acc = contrib if acc is None else _add_films(acc, contrib)
                 s_done += s
-                done_work += (end - start) * s
+                state["done"] += (end - start) * s
                 if progress:
-                    pct = 100.0 * done_work / total_work
-                    eta = (time.time() - t0) / done_work * (
-                        total_work - done_work
+                    pct = 100.0 * state["done"] / total_work
+                    eta = (time.time() - t0) / state["done"] * (
+                        total_work - state["done"]
                     )
                     print(
                         f"\r[info] render {pct:5.1f}%  eta {eta:6.1f}s",
@@ -299,9 +270,56 @@ class Renderer:
                 acc.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append((start, end, acc))
-        for start, end, acc in pending:
-            frame[start:end] = np.asarray(acc)[: end - start] / spp
+            return acc
+
+        # Per-chunk films accumulate ON DEVICE and each tile is fetched
+        # once, asynchronously: a synchronous np.asarray per (tile,
+        # spp-chunk) costs more than the render itself through the axon
+        # tunnel (jax.profiler trace, docs/profile/SUMMARY.md — 265 ms
+        # per 768 KB readback vs 211 ms device compute per tile).
+        pending: list[tuple[int, int, jax.Array, jax.Array]] = []
+        for start in range(0, n_pix, tile):
+            end = min(start + tile, n_pix)
+            idx = jnp.arange(start, end, dtype=jnp.int32)
+            if end - start < tile:  # keep one compiled shape
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros(tile - (end - start), jnp.int32)]
+                )
+            try:
+                acc = dispatch_tile(start, end, idx)
+            except jax.errors.JaxRuntimeError as err:
+                import warnings
+
+                warnings.warn(
+                    f"tile [{start}:{end}] dispatch failed "
+                    f"({type(err).__name__}); re-rendering at fetch"
+                )
+                acc = None  # the fetch loop below re-renders it
+            pending.append((start, end, idx, acc))
+
+        # Elastic tile recovery (SURVEY §5 failure row): device faults on
+        # async dispatches surface at fetch; per-pixel RNG is a pure
+        # function of (pixel, sample), so a lost tile is simply
+        # re-rendered — the retry produces the IDENTICAL contribution
+        # (idempotent recovery, tests/test_renderer_elastic.py).
+        retries = int(os.environ.get("MCPT_TILE_RETRIES", "2"))
+        for start, end, idx, acc in pending:
+            for attempt in range(retries + 1):
+                try:
+                    if acc is None:
+                        acc = dispatch_tile(start, end, idx)
+                    frame[start:end] = np.asarray(acc)[: end - start] / spp
+                    break
+                except jax.errors.JaxRuntimeError as err:
+                    if attempt >= retries:
+                        raise
+                    import warnings
+
+                    warnings.warn(
+                        f"tile [{start}:{end}] lost ({type(err).__name__});"
+                        f" re-rendering (attempt {attempt + 1})"
+                    )
+                    acc = None
         if progress:
             print(f"\r[info] render done in {time.time() - t0:.2f}s      ")
         return frame.reshape(cam.height, cam.width, 3)

@@ -49,6 +49,12 @@ CASES = [
      "volumetric-caustic/TungstenRender.png",
      "volumetric-caustic/TungstenRender.exr"),
     ("box", "box/scene_v0.6.xml", "box.png", None, None),
+    # the last never-compared committed renders (VERDICT r4 missing #3)
+    ("plastic", "matpreview/plastic.xml", "plastic.png", None, None),
+    ("mercury-smooth-diffuse", "mercury/smooth_diffuse.xml",
+     "mercury_smooth-diffuse.png", None, None),
+    ("no-medium", "volumetric-caustic/no_medium.xml", "no_medium.png",
+     None, None),
     ("lte-orb-silver", "lte-orb/silver.xml", "lte-orb_silver.png",
      None, None),
     ("lte-orb-rough-glass", "lte-orb/rough_glass.xml",

@@ -39,6 +39,8 @@ CONFIGS = [
     ("rough-plastic", "matpreview/rough_plastic.xml", 8, 2.5),
     ("mercury-rough-diffuse", "mercury/rough_diffuse.xml", 8, 2.5),
     ("volumetric-caustic", "volumetric-caustic/scene_v0.6.xml", 16, 4.0),
+    # BASELINE config #5's HG arm (g = -0.5 as committed)
+    ("volumetric-hg", "volumetric-caustic/scene_v0.6_hg.xml", 16, 4.0),
     ("classroom", "classroom/scene_v0.6.xml", 8, 3.5),
     ("dining-room", "dining-room/scene_v0.6.xml", 8, 3.5),
     # archive-BDPT throughput on its headline scene (rays metric counts

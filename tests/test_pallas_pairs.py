@@ -93,3 +93,30 @@ def test_pairs_t_window_and_dead_lanes():
     # every cut hit matches the full traversal's result
     np.testing.assert_allclose(np.asarray(cut.t)[m], np.asarray(full.t)[m],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_pairs_on_chip_equivalence():
+    """Real-Mosaic (non-interpret) equivalence for the pair kernels —
+    the pair path is the DEFAULT traversal for thin-chunk scenes
+    (traversal.resolved_strategy), so it gets the same on-chip gate as
+    the march kernel.  Runs only under MCPT_TEST_TPU=1."""
+    import jax
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU backend (MCPT_TEST_TPU=1)")
+    geom = _geom(n_tris=900, seed=3)
+    o, d = random_rays(700, seed=11)
+    ref = _intersect_march(geom, o, d, 1e-4, 3.4e38, False)
+    got = _intersect_pairs(geom, o, d, 1e-4, 3.4e38, False,
+                           interpret=False)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
+    any_ref = _intersect_march(geom, o, d, 1e-4, 3.4e38, True)
+    any_got = _intersect_pairs(geom, o, d, 1e-4, 3.4e38, True,
+                               interpret=False)
+    np.testing.assert_array_equal(np.asarray(any_got.valid),
+                                  np.asarray(any_ref.valid))

@@ -316,7 +316,9 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
 
         # --- NEE (s=1 strategies)
         seed, xi_nee = rng.random_floats(seed, n_nee)
-        L = L + beta * _direct_lighting(scene, hit, wo, alive, xi_nee)
+        L = L + beta * _direct_lighting(
+            scene, hit, wo, alive, xi_nee, beta=beta
+        )
 
         # --- light-subpath connections (s>=2), power-heuristic combined
         # across the K strategies (bdpt.cpp:240-245 WeightPowerHeuristic)

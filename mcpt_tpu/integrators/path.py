@@ -283,6 +283,22 @@ def _nee_query_count(scene: SceneData) -> int:
     return q
 
 
+def _nee_rr_tau() -> float:
+    """Shadow-ray Russian-roulette threshold: an NEE query whose
+    potential contribution max(beta*contrib) is below tau is traced
+    with probability p = max/tau and weighted 1/p — unbiased
+    contribution-proportional RR (not in the reference; deviation
+    documented).  The big win is near-delta vertices: a smooth
+    conductor's alpha=0.001 GGX gives NEE contributions ~1e-6 yet paid
+    a full shadow traversal every bounce; under RR those rays almost
+    never fire and pack into dead march blocks.  Added variance is
+    bounded by ~tau per query per sample.  MCPT_NEE_RR_TAU overrides;
+    0 disables."""
+    import os
+
+    return float(os.environ.get("MCPT_NEE_RR_TAU", "0.05"))
+
+
 def nee_draw_count(scene: SceneData) -> int:
     """Uniform draws consumed by one _direct_lighting call (scene-static
     so RNG streams stay aligned across the wavefront)."""
@@ -297,7 +313,31 @@ def nee_draw_count(scene: SceneData) -> int:
     if scene.has_opacity:
         # stochastic-alpha draws for every shadow query (shadow_occluded)
         k += SHADOW_ALPHA_K * _nee_query_count(scene)
+    if _nee_rr_tau() > 0.0:
+        k += _nee_query_count(scene)  # one RR coin per shadow query
     return max(k, 1)
+
+
+def _nee_rr(pend, live, xi, beta=None):
+    """Apply shadow-ray RR to one query's pending contribution.
+
+    pend: [N, 3] contribution if unoccluded; live: [N] bool; xi: [N]
+    uniform; beta: optional [N, 3] throughput NOT folded into pend (the
+    RR decision must see the FULL pending radiance beta*pend so both
+    engine bodies kill identically).  Returns (pend', live') with
+    E[pend' | survive] * P[survive] = pend."""
+    tau = _nee_rr_tau()
+    if tau <= 0.0:
+        return pend, live
+    full = pend if beta is None else pend * beta
+    m = jnp.max(full, axis=-1)
+    p = jnp.clip(m / tau, 0.0, 1.0)
+    fire = m < tau
+    keep = ~fire | (xi < p)
+    scale = jnp.where(fire, tau / jnp.maximum(m, 1e-20), 1.0)
+    pend = jnp.where((fire & keep)[..., None], pend * scale[..., None],
+                     pend)
+    return pend, live & keep
 
 
 def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi,
@@ -480,7 +520,8 @@ def _nee_queries(scene: SceneData, hit: HitAttrs, wo, alive, xi,
 
 
 def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
-                     differentiable: bool = False, coherence=None):
+                     differentiable: bool = False, coherence=None,
+                     beta=None):
     """All-emitter NEE: every analytic emitter + one CDF-sampled area
     light + the escape emitter, each against its own shadow ray
     (csrt EvaluateDirectLightPath, path.cpp:138-236).
@@ -493,14 +534,18 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
     corridors, light-origin rays fan out over the whole scene."""
     n = wo.shape[0]
     L = jnp.zeros((n, 3), jnp.float32)
-    # stochastic-alpha draws live at the tail of xi: query j consumes
-    # xi[s_base + j*K : s_base + (j+1)*K] (layout fixed by nee_draw_count)
-    s_base = nee_draw_count(scene) - (
-        SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
-    )
+    # draw layout tail (fixed by nee_draw_count): [...sample draws...,
+    # opacity-alpha tail (K per query), RR coin per query]
+    q_n = _nee_query_count(scene)
+    rr_base = nee_draw_count(scene) - (q_n if _nee_rr_tau() > 0.0 else 0)
+    s_base = rr_base - (SHADOW_ALPHA_K * q_n if scene.has_opacity else 0)
     for j, (wi, dist, geo_ok, contrib) in enumerate(
         _nee_queries(scene, hit, wo, alive, xi, differentiable)
     ):
+        if _nee_rr_tau() > 0.0:
+            contrib, geo_ok = _nee_rr(
+                contrib, geo_ok, xi[rr_base + j], beta
+            )
         xi_shadow = (
             xi[s_base + j * SHADOW_ALPHA_K : s_base + (j + 1) * SHADOW_ALPHA_K]
             if scene.has_opacity else None
@@ -508,7 +553,7 @@ def _direct_lighting(scene: SceneData, hit: HitAttrs, wo, alive, xi,
         occluded = shadow_occluded(
             scene, hit.position, -wi, geo_ok, dist, xi_shadow, coherence
         )
-        L = L + jnp.where(occluded[..., None], 0.0, contrib)
+        L = L + jnp.where((occluded | ~geo_ok)[..., None], 0.0, contrib)
     return L
 
 
@@ -617,7 +662,7 @@ def shade(scene: SceneData, integ, o, d, seed, differentiable: bool = False):
         seed, xi_nee = rng.random_floats(seed, n_nee)
         L = L + beta * _direct_lighting(
             scene, hit, wo, alive, xi_nee, differentiable,
-            coherence=coh if use_coh else None,
+            coherence=coh if use_coh else None, beta=beta,
         )
 
         # --- 3. BSDF sample (path.cpp:66-74)
@@ -944,12 +989,18 @@ def _shade_regen_batched(scene: SceneData, integ, camera, pixel_idx,
         # contribution now; only occlusion defers to the next batch.
         seed, xi_nee = rng.random_floats(seed, n_nee)
         queries = _nee_queries(scene, hit, wi_in, alive, xi_nee)
+        rr_base = n_nee - (q_n if _nee_rr_tau() > 0.0 else 0)
         sh_o = hit.position
         sh_d_new = []
         sh_dist_new = []
         sh_pend_new = []
-        for wi, dist, geo_ok, contrib in queries:
+        for j, (wi, dist, geo_ok, contrib) in enumerate(queries):
             pend = beta * contrib
+            if _nee_rr_tau() > 0.0:
+                # shadow-ray RR: near-zero pending contributions (delta
+                # -ish vertices) almost never trace — unbiased, and the
+                # killed lanes pack into dead march blocks
+                pend, geo_ok = _nee_rr(pend, geo_ok, xi_nee[rr_base + j])
             live_q = geo_ok & alive & (jnp.max(pend, axis=-1) > 0.0)
             sh_d_new.append(jnp.where(live_q[..., None], -wi, 0.0))
             sh_dist_new.append(jnp.where(live_q, dist, 0.0))
@@ -1170,7 +1221,7 @@ def shade_regen(scene: SceneData, integ, camera, pixel_idx, spp: int,
         seed, xi_nee = rng.random_floats(seed, n_nee)
         L_samp = L_samp + beta * _direct_lighting(
             scene, hit, wi_in, alive, xi_nee,
-            coherence=coh if use_coh else None,
+            coherence=coh if use_coh else None, beta=beta,
         )
 
         # --- 3. BSDF sample -> next segment

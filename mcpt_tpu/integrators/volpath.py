@@ -102,11 +102,17 @@ def _direct_lighting_vol(scene, hit, pos_m, scattering, cur_mid, wo, alive, xi):
     from mcpt_tpu.integrators.path import (
         SHADOW_ALPHA_K,
         _nee_query_count,
+        _nee_rr_tau,
         nee_draw_count as _ndc,
         shadow_occluded,
     )
 
+    # the xi tail is [opacity-alpha draws, RR coins]; volpath doesn't
+    # apply shadow-ray RR (media contributions are rarely near-delta)
+    # but must skip past the coins to find its alpha draws
     s_base = _ndc(scene) - (
+        _nee_query_count(scene) if _nee_rr_tau() > 0.0 else 0
+    ) - (
         SHADOW_ALPHA_K * _nee_query_count(scene) if scene.has_opacity else 0
     )
     s_query = 0

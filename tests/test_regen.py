@@ -116,3 +116,20 @@ class TestVolpathRegen:
         a = _render(cfg, "chunked", 8, tile=64)
         b = _render(cfg, "regen", 8, tile=64)
         np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.1)
+
+
+class TestShadowRayRR:
+    """Contribution-proportional shadow-ray Russian roulette
+    (path._nee_rr): unbiased — high-spp means match the tau=0
+    estimator within MC tolerance."""
+
+    def test_means_match_no_rr(self, monkeypatch):
+        cfg = make_box_scene(spp=512, res=12, depth_max=4)
+        monkeypatch.setenv("MCPT_NEE_RR_TAU", "0")
+        a = _render(cfg, "regen", 512, spp_chunk=512)
+        monkeypatch.setenv("MCPT_NEE_RR_TAU", "0.1")
+        b = _render(cfg, "regen", 511, spp_chunk=511)  # distinct compile
+        np.testing.assert_allclose(
+            a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=0.03
+        )
+        assert np.isfinite(b).all()

@@ -363,6 +363,15 @@ def shadow_occluded(scene: SceneData, o, d, geo_ok, dist, xi,
 
     xi: [SHADOW_ALPHA_K, N] uniforms, consumed iff scene.has_opacity
     (nee_draw_count keeps RNG streams aligned).
+
+    Cost note (ADVICE r4): on opacity scenes every query pays
+    SHADOW_ALPHA_K closest-hit walks even when no masked geometry lies
+    on the segment.  An any-hit prefilter (opaque-only occluders first,
+    early-out when blocked) was considered and not built: it needs a
+    second per-prim opacity-aware flag in the geometry SoA and a third
+    traversal program per scene, and no shipped opacity scene is
+    shadow-bound enough to repay that; SHADOW_ALPHA_K is env-tunable
+    (MCPT_SHADOW_ALPHA_K) for stacked-foliage content instead.
     """
     from mcpt_tpu.ops.math import EPSILON_DISTANCE as EPS_D
 

@@ -120,3 +120,23 @@ def test_pallas_pairs_on_chip_equivalence():
                                interpret=False)
     np.testing.assert_array_equal(np.asarray(any_got.valid),
                                   np.asarray(any_ref.valid))
+
+
+def test_auto_routing(monkeypatch):
+    """resolved_strategy: pairs iff the chunk doubling landed thin
+    (march_leaf < 256); env override wins."""
+    from mcpt_tpu.ops import traversal as T
+
+    class G:
+        march_leaf = 128
+
+    class G2:
+        march_leaf = 256
+
+    monkeypatch.delenv("MCPT_TRAVERSAL", raising=False)
+    assert T.resolved_strategy(G) == "pairs"
+    assert T.resolved_strategy(G2) == "march"
+    monkeypatch.setenv("MCPT_TRAVERSAL", "march")
+    assert T.resolved_strategy(G) == "march"
+    monkeypatch.setenv("MCPT_TRAVERSAL", "pairs")
+    assert T.resolved_strategy(G2) == "pairs"

